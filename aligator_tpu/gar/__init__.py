@@ -1,0 +1,34 @@
+"""gar — proximal LQ problems and Riccati solvers (the performance core).
+
+TPU-native counterpart of the reference's ``aligator/gar`` subsystem
+(``include/aligator/gar/``): stacked-array LQ problems, a serial proximal
+Riccati solver expressed as `lax.scan`, a parallel-in-time solver via leg
+condensation, and dense-KKT oracles for testing.
+"""
+
+from .lqr_problem import (
+    LQRKnots,
+    LQRProblem,
+    add_parameterization,
+    dense_kkt,
+    dense_solve,
+    kkt_error,
+    random_problem,
+    split_solution,
+)
+from .riccati import RiccatiFactors, backward, forward, solve
+
+__all__ = [
+    "LQRKnots",
+    "LQRProblem",
+    "add_parameterization",
+    "dense_kkt",
+    "dense_solve",
+    "kkt_error",
+    "random_problem",
+    "split_solution",
+    "RiccatiFactors",
+    "backward",
+    "forward",
+    "solve",
+]

@@ -1,0 +1,164 @@
+"""Serial proximal Riccati vs dense-KKT oracle.
+
+Replicates the reference's gar test design (``tests/gar/riccati.cpp`` +
+``tests/gar/test_util.hpp``): random Wishart-cost LQ problems, cross-validate
+the structured solver against a dense KKT factorization, and check the KKT
+residual oracle directly.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aligator_tpu import gar
+
+MUDYN = 1e-3
+MUEQ = 1e-4
+
+
+def make_problem(seed=0, N=8, nx=4, nu=3, nc=2, dtype=jnp.float64):
+    key = jax.random.PRNGKey(seed)
+    return gar.random_problem(key, N, nx, nu, nc, dtype=dtype)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("dims", [(8, 4, 3, 2), (12, 6, 2, 3), (3, 2, 1, 1)])
+def test_serial_vs_dense(seed, dims):
+    N, nx, nu, nc = dims
+    prob = make_problem(seed, N, nx, nu, nc)
+    xs, us, vs, lams = gar.solve(prob, MUDYN, MUEQ, assume_explicit=True)
+    xs_d, us_d, vs_d, lams_d = gar.dense_solve(prob, MUDYN, MUEQ)
+
+    assert jnp.allclose(xs, xs_d, atol=1e-9)
+    assert jnp.allclose(us, us_d, atol=1e-9)
+    assert jnp.allclose(vs, vs_d, atol=1e-9)
+    assert jnp.allclose(lams, lams_d, atol=1e-9)
+
+    derr, cerr, gerr = gar.kkt_error(prob, xs, us, vs, lams, MUDYN, MUEQ)
+    assert derr < 1e-9
+    assert cerr < 1e-9
+    assert gerr < 1e-9
+
+
+def test_general_e_matrix():
+    """Implicit-dynamics path (E != -I) agrees with the dense oracle."""
+    prob = make_problem(3, N=6, nx=4, nu=2, nc=2)
+    key = jax.random.PRNGKey(99)
+    N = prob.horizon
+    E = prob.knots.E
+    pert = 0.3 * jax.random.normal(key, E[:N].shape, dtype=E.dtype)
+    E_new = E.at[:N].add(pert)
+    from aligator_tpu._pytree import replace
+
+    prob = replace(prob, knots=replace(prob.knots, E=E_new))
+    xs, us, vs, lams = gar.solve(prob, MUDYN, MUEQ, assume_explicit=False)
+    xs_d, us_d, vs_d, lams_d = gar.dense_solve(prob, MUDYN, MUEQ)
+    assert jnp.allclose(xs, xs_d, atol=1e-8)
+    assert jnp.allclose(lams, lams_d, atol=1e-8)
+
+
+def test_batched_vmap():
+    """The solver vmaps over a batch of problems (the TPU scenario axis)."""
+    keys = jax.random.split(jax.random.PRNGKey(7), 5)
+    probs = jax.vmap(
+        lambda k: gar.random_problem(k, 6, 4, 2, 2, dtype=jnp.float64)
+    )(keys)
+    solve_b = jax.vmap(lambda p: gar.solve(p, MUDYN, MUEQ, assume_explicit=True))
+    xs, us, vs, lams = solve_b(probs)
+    assert xs.shape == (5, 7, 4)
+
+    for i in range(5):
+        prob_i = jax.tree.map(lambda a: a[i], probs)
+        derr, cerr, gerr = gar.kkt_error(
+            prob_i, xs[i], us[i], vs[i], lams[i], MUDYN, MUEQ
+        )
+        assert max(float(derr), float(cerr), float(gerr)) < 1e-9
+
+
+def test_parametric_theta():
+    """θ-parameterized solve == solve of the problem with gradients shifted by
+    (Gx θ, Gu θ). This is the contract the parallel-in-time condensation and
+    MPC sensitivities rely on (reference riccati-kernel.hxx:256-299)."""
+    prob = make_problem(11, N=7, nx=4, nu=3, nc=2)
+    nth = 4
+    kn = gar.add_parameterization(prob.knots, nth)
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3 = jax.random.split(key, 3)
+    N = prob.horizon
+    from aligator_tpu._pytree import replace
+
+    Gx = jax.random.normal(k1, kn.Gx.shape, dtype=jnp.float64) * 0.5
+    Gu = jax.random.normal(k2, kn.Gu.shape, dtype=jnp.float64) * 0.5
+    # terminal Gu must be zero (padded control)
+    Gu = Gu.at[N].set(0.0)
+    kn = replace(kn, Gx=Gx, Gu=Gu)
+    prob_th = replace(prob, knots=kn)
+
+    theta = jax.random.normal(k3, (nth,), dtype=jnp.float64)
+
+    xs, us, vs, lams = gar.solve(
+        prob_th, MUDYN, MUEQ, assume_explicit=True, theta=theta
+    )
+
+    # equivalent plain problem: q += Gx θ, r += Gu θ
+    kn_eq = replace(
+        prob.knots,
+        q=prob.knots.q + jnp.einsum("tij,j->ti", Gx, theta),
+        r=prob.knots.r + jnp.einsum("tij,j->ti", Gu, theta),
+    )
+    prob_eq = replace(prob, knots=kn_eq)
+    xs_d, us_d, vs_d, lams_d = gar.dense_solve(prob_eq, MUDYN, MUEQ)
+
+    assert jnp.allclose(xs, xs_d, atol=1e-8)
+    assert jnp.allclose(us, us_d, atol=1e-8)
+    assert jnp.allclose(vs, vs_d, atol=1e-8)
+    assert jnp.allclose(lams, lams_d, atol=1e-8)
+
+
+def test_theta_gradient_hessian():
+    """th_grad/th_hess are the gradient/Hessian of the optimal value wrt θ:
+    check against finite differences of the dense solution's objective
+    stationarity — here simply that th_grad matches (gamma + Gx'x + Gu'u)
+    summed over stages at the optimum."""
+    prob = make_problem(2, N=5, nx=3, nu=2, nc=1)
+    nth = 3
+    from aligator_tpu._pytree import replace
+
+    kn = gar.add_parameterization(prob.knots, nth)
+    key = jax.random.PRNGKey(13)
+    k1, k2 = jax.random.split(key)
+    N = prob.horizon
+    Gx = 0.3 * jax.random.normal(k1, kn.Gx.shape, dtype=jnp.float64)
+    Gu = 0.3 * jax.random.normal(k2, kn.Gu.shape, dtype=jnp.float64)
+    Gu = Gu.at[N].set(0.0)
+    kn = replace(kn, Gx=Gx, Gu=Gu)
+    prob_th = replace(prob, knots=kn)
+
+    theta = jnp.zeros((nth,), jnp.float64)
+    facs = gar.backward(prob_th, MUDYN, MUEQ, assume_explicit=True)
+    xs, us, vs, lams = gar.forward(facs, theta=theta)
+
+    # ∇_θ L at optimum = Σ_t gamma_t + Gx_t' x_t + Gu_t' u_t
+    g_expected = (
+        jnp.sum(kn.gamma, axis=0)
+        + jnp.einsum("tij,ti->j", Gx, xs)
+        + jnp.einsum("tij,ti->j", Gu, us)
+    )
+    assert jnp.allclose(facs.th_grad, g_expected, atol=1e-8)
+    # Hessian must be symmetric
+    assert jnp.allclose(facs.th_hess, facs.th_hess.T, atol=1e-7)
+
+
+def test_float32_accuracy():
+    """fp32 path stays within the 1e-4 control-matching budget on a
+    well-conditioned problem (TPU default precision)."""
+    prob64 = make_problem(21, N=20, nx=6, nu=3, nc=2, dtype=jnp.float64)
+    prob32 = jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        prob64,
+    )
+    xs64, us64, _, _ = gar.dense_solve(prob64, 1e-2, 1e-2)
+    xs32, us32, vs32, lams32 = gar.solve(prob32, 1e-2, 1e-2, assume_explicit=True)
+    assert float(jnp.max(jnp.abs(us32 - us64.astype(jnp.float32)))) < 1e-3
