@@ -221,22 +221,21 @@ def _initial_solve(P0, p0, G0, g0, mudyn, Vxt0=None):
     return x0, lam0, None, None
 
 
-def backward(
-    problem: LQRProblem,
-    mudyn,
-    mueq,
-    assume_explicit: bool = False,
-) -> RiccatiFactors:
-    """Backward Riccati sweep over the full horizon.
+def sweep(kn: LQRKnots, mudyn, mueq, assume_explicit: bool = False):
+    """Backward Riccati sweep over a knot sequence (no initial-stage solve).
 
-    Returns the full set of gains + the initial-stage solution. Structure of
-    the recursion follows ``ProximalRiccatiKernel::backwardImpl``
-    (``gar/riccati-kernel.hxx:64``) with the Cholesky-friendly reductions
-    described in the module docstring.
+    Returns ``(carry, stages)`` where ``carry`` is the value function
+    propagated to the first knot (P, p[, Vxt, Vtt, vt]) and ``stages`` is a
+    dict of stacked per-knot gains (T entries; dynamics-propagation gains at
+    the last index are zero). This is the reusable "kernel" shared by the
+    serial solver and the per-leg sweeps of the parallel-in-time solver
+    (reference ``ProximalRiccatiKernel::backwardImpl``,
+    gar/riccati-kernel.hxx:64).
     """
-    kn = problem.knots
-    N = problem.horizon
+    N = kn.horizon
     nth = kn.nth
+    nx = kn.nx
+    dt = kn.Q.dtype
 
     term = _terminal_solve(kn, N, mueq, nth)
 
@@ -257,40 +256,13 @@ def backward(
 
     carry_f, stages = lax.scan(scan_body, carry0, knot_fields, reverse=True)
 
-    # Stack terminal entry onto the per-stage outputs.
-    nu, nc, nx = kn.nu, kn.nc, kn.nx
-    dt = kn.Q.dtype
+    zero_vec = jnp.zeros((nx,), dt)
+    zero_mat = jnp.zeros((nx, nx), dt)
 
     def cat(name, term_val):
         return jnp.concatenate([stages[name], term_val[None]], axis=0)
 
-    zero_vec = jnp.zeros((nx,), dt)
-    zero_mat = jnp.zeros((nx, nx), dt)
-
-    P0, p0 = carry_f["P"], carry_f["p"]
-    Vxt0 = carry_f["Vxt"] if nth > 0 else None
-    x0, lam0, x0_th, lam0_th = _initial_solve(
-        P0, p0, problem.G0, problem.g0, mudyn, Vxt0
-    )
-
-    extra = {}
-    if nth > 0:
-        zmat_th = jnp.zeros((nx, nth), dt)
-        extra = dict(
-            Kth=cat("Kth", term["Kth"]),
-            Zth=cat("Zth", term["Zth"]),
-            Lth=cat("Lth", zmat_th),
-            Yth=cat("Yth", zmat_th),
-            Vxt=cat("Vxt", term["Vxt"]),
-            Vtt=cat("Vtt", term["Vtt"]),
-            vt=cat("vt", term["vt"]),
-            x0_th=x0_th,
-            lam0_th=lam0_th,
-            th_grad=carry_f["vt"] + carry_f["Vxt"].T @ x0,
-            th_hess=carry_f["Vtt"] + carry_f["Vxt"].T @ x0_th,
-        )
-
-    return RiccatiFactors(
+    out = dict(
         kff=cat("kff", term["kff"]),
         K=cat("K", term["K"]),
         zff=cat("zff", term["zff"]),
@@ -301,6 +273,72 @@ def backward(
         Afb=cat("Afb", zero_mat),
         Pmat=cat("Pmat", term["Pmat"]),
         pvec=cat("pvec", term["pvec"]),
+    )
+    if nth > 0:
+        zmat_th = jnp.zeros((nx, nth), dt)
+        out.update(
+            Kth=cat("Kth", term["Kth"]),
+            Zth=cat("Zth", term["Zth"]),
+            Lth=cat("Lth", zmat_th),
+            Yth=cat("Yth", zmat_th),
+            Vxt=cat("Vxt", term["Vxt"]),
+            Vtt=cat("Vtt", term["Vtt"]),
+            vt=cat("vt", term["vt"]),
+        )
+    return carry_f, out
+
+
+def backward(
+    problem: LQRProblem,
+    mudyn,
+    mueq,
+    assume_explicit: bool = False,
+) -> RiccatiFactors:
+    """Backward Riccati sweep over the full horizon.
+
+    Returns the full set of gains + the initial-stage solution. Structure of
+    the recursion follows ``ProximalRiccatiKernel::backwardImpl``
+    (``gar/riccati-kernel.hxx:64``) with the Cholesky-friendly reductions
+    described in the module docstring.
+    """
+    kn = problem.knots
+    nth = kn.nth
+
+    carry_f, stages = sweep(kn, mudyn, mueq, assume_explicit)
+
+    P0, p0 = carry_f["P"], carry_f["p"]
+    Vxt0 = carry_f["Vxt"] if nth > 0 else None
+    x0, lam0, x0_th, lam0_th = _initial_solve(
+        P0, p0, problem.G0, problem.g0, mudyn, Vxt0
+    )
+
+    extra = {}
+    if nth > 0:
+        extra = dict(
+            Kth=stages["Kth"],
+            Zth=stages["Zth"],
+            Lth=stages["Lth"],
+            Yth=stages["Yth"],
+            Vxt=stages["Vxt"],
+            Vtt=stages["Vtt"],
+            vt=stages["vt"],
+            x0_th=x0_th,
+            lam0_th=lam0_th,
+            th_grad=carry_f["vt"] + carry_f["Vxt"].T @ x0,
+            th_hess=carry_f["Vtt"] + carry_f["Vxt"].T @ x0_th,
+        )
+
+    return RiccatiFactors(
+        kff=stages["kff"],
+        K=stages["K"],
+        zff=stages["zff"],
+        Z=stages["Z"],
+        lff=stages["lff"],
+        L=stages["L"],
+        yff=stages["yff"],
+        Afb=stages["Afb"],
+        Pmat=stages["Pmat"],
+        pvec=stages["pvec"],
         x0=x0,
         lam0=lam0,
         **extra,

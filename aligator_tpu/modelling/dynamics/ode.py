@@ -1,0 +1,107 @@
+"""Continuous dynamics (ODEs) and explicit integrators.
+
+Counterparts of the reference's ``modelling/dynamics`` layer:
+``ODEAbstractTpl`` (``ode-abstract.hpp:15``), explicit Euler
+(``integrator-euler.hpp:14``), semi-implicit Euler
+(``integrator-semi-euler.hpp:17``) and RK2 (``integrator-rk2.hpp:19``).
+
+An ODE provides ``xdot(space, x, u) ∈ T_x M`` (tangent coordinates, size
+ndx); integrators are :class:`~aligator_tpu.core.dynamics.ExplicitDynamics`
+that advance along the manifold with ``space.integrate``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..._pytree import pytree_dataclass
+from ...core.dynamics import ExplicitDynamics
+from ...core.manifolds import Manifold, TangentBundle
+
+
+class ODE:
+    """Continuous dynamics ẋ = f(x, u) in tangent coordinates."""
+
+    def xdot(self, space: Manifold, x, u):
+        raise NotImplementedError
+
+
+@pytree_dataclass
+class LinearODE(ODE):
+    """ẋ = A x + B u + c on a vector space (reference
+    ``modelling/dynamics/linear-ode.hpp:14``)."""
+
+    A: jax.Array
+    B: jax.Array
+    c: jax.Array
+
+    def xdot(self, space, x, u):
+        return self.A @ x + self.B @ u + self.c
+
+
+@pytree_dataclass
+class IntegratorEuler(ExplicitDynamics):
+    """x⁺ = x ⊕ (h·f(x,u)) — explicit Euler (reference
+    ``integrator-euler.hpp:14``)."""
+
+    ode: ODE
+    timestep: jax.Array
+
+    def forward(self, space, x, u):
+        return space.integrate(x, self.timestep * self.ode.xdot(space, x, u))
+
+
+@pytree_dataclass
+class IntegratorSemiImplEuler(ExplicitDynamics):
+    """Semi-implicit (symplectic) Euler on a tangent bundle (q, v):
+    v⁺ = v + h·a(x,u); q⁺ = q ⊕ h·v⁺ (reference
+    ``integrator-semi-euler.hpp:17``). The ODE's xdot = (v, a)."""
+
+    ode: ODE
+    timestep: jax.Array
+
+    def forward(self, space, x, u):
+        assert isinstance(space, TangentBundle), (
+            "semi-implicit Euler requires a TangentBundle state space"
+        )
+        nv = space.base.ndx
+        xdot = self.ode.xdot(space, x, u)
+        acc = xdot[..., nv:]
+        v_next = x[..., space.base.nx :] + self.timestep * acc
+        q_next = space.base.integrate(
+            x[..., : space.base.nx], self.timestep * v_next
+        )
+        return jnp.concatenate([q_next, v_next], axis=-1)
+
+
+@pytree_dataclass
+class IntegratorRK2(ExplicitDynamics):
+    """Explicit midpoint RK2 (reference ``integrator-rk2.hpp:19``):
+    x₁ = x ⊕ (h/2·f(x,u)); x⁺ = x ⊕ (h·f(x₁,u))."""
+
+    ode: ODE
+    timestep: jax.Array
+
+    def forward(self, space, x, u):
+        h = self.timestep
+        k1 = self.ode.xdot(space, x, u)
+        x1 = space.integrate(x, 0.5 * h * k1)
+        k2 = self.ode.xdot(space, x1, u)
+        return space.integrate(x, h * k2)
+
+
+@pytree_dataclass
+class IntegratorRK4(ExplicitDynamics):
+    """Classic RK4 on the manifold (tangent increments composed via ⊕)."""
+
+    ode: ODE
+    timestep: jax.Array
+
+    def forward(self, space, x, u):
+        h = self.timestep
+        k1 = self.ode.xdot(space, x, u)
+        k2 = self.ode.xdot(space, space.integrate(x, 0.5 * h * k1), u)
+        k3 = self.ode.xdot(space, space.integrate(x, 0.5 * h * k2), u)
+        k4 = self.ode.xdot(space, space.integrate(x, h * k3), u)
+        return space.integrate(x, (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4))

@@ -1,0 +1,73 @@
+"""Parallel-in-time Riccati vs serial solver (reference test design:
+``tests/gar/parallel.cpp`` cross-validates parallel against serial and
+checks KKT residuals)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aligator_tpu import gar
+from aligator_tpu.gar import parallel
+
+MUDYN = 1e-3
+MUEQ = 1e-4
+
+
+@pytest.mark.parametrize("legs", [2, 4])
+@pytest.mark.parametrize("dims", [(7, 4, 3, 2), (15, 6, 2, 0)])
+def test_parallel_vs_serial(legs, dims):
+    N, nx, nu, nc = dims
+    key = jax.random.PRNGKey(42 + legs)
+    prob = gar.random_problem(key, N, nx, nu, nc, dtype=jnp.float64)
+
+    xs_s, us_s, vs_s, lams_s = gar.solve(prob, MUDYN, MUEQ, assume_explicit=True)
+    xs_p, us_p, vs_p, lams_p = parallel.solve(
+        prob, MUDYN, MUEQ, legs=legs, assume_explicit=True
+    )
+
+    assert jnp.allclose(xs_p, xs_s, atol=1e-8)
+    assert jnp.allclose(us_p, us_s, atol=1e-8)
+    assert jnp.allclose(vs_p, vs_s, atol=1e-8)
+    assert jnp.allclose(lams_p, lams_s, atol=1e-8)
+
+    derr, cerr, gerr = gar.kkt_error(
+        prob, xs_p, us_p, vs_p, lams_p, MUDYN, MUEQ
+    )
+    assert max(float(derr), float(cerr), float(gerr)) < 1e-8
+
+
+def test_parallel_general_e():
+    from aligator_tpu._pytree import replace
+
+    N, nx, nu, nc = 11, 4, 2, 1
+    prob = gar.random_problem(jax.random.PRNGKey(3), N, nx, nu, nc, dtype=jnp.float64)
+    E = prob.knots.E
+    pert = 0.2 * jax.random.normal(jax.random.PRNGKey(9), E[:N].shape, dtype=E.dtype)
+    prob = replace(prob, knots=replace(prob.knots, E=E.at[:N].add(pert)))
+
+    xs_s, us_s, vs_s, lams_s = gar.solve(prob, MUDYN, MUEQ)
+    xs_p, us_p, vs_p, lams_p = parallel.solve(prob, MUDYN, MUEQ, legs=3)
+    assert jnp.allclose(xs_p, xs_s, atol=1e-8)
+    assert jnp.allclose(lams_p, lams_s, atol=1e-8)
+
+
+def test_parallel_jit_vmap():
+    """Parallel solver composes with jit and an outer scenario vmap."""
+    N, nx, nu, nc = 7, 3, 2, 1
+    keys = jax.random.split(jax.random.PRNGKey(11), 4)
+    probs = jax.vmap(
+        lambda k: gar.random_problem(k, N, nx, nu, nc, dtype=jnp.float64)
+    )(keys)
+
+    @jax.jit
+    def run(probs):
+        return jax.vmap(
+            lambda p: parallel.solve(p, MUDYN, MUEQ, legs=2, assume_explicit=True)
+        )(probs)
+
+    xs, us, vs, lams = run(probs)
+    assert xs.shape == (4, 8, nx)
+    for i in range(4):
+        prob_i = jax.tree.map(lambda a: a[i], probs)
+        errs = gar.kkt_error(prob_i, xs[i], us[i], vs[i], lams[i], MUDYN, MUEQ)
+        assert max(float(e) for e in errs) < 1e-8
