@@ -1,6 +1,7 @@
 """modelling — concrete spaces, dynamics, costs, residuals (reference layer 3)."""
 
 from .spaces.se2 import SE2, SO2
+from .spaces.se3 import SE3, SO3
 from .dynamics.ode import (
     ODE,
     IntegratorEuler,
@@ -9,14 +10,18 @@ from .dynamics.ode import (
     IntegratorSemiImplEuler,
     LinearODE,
 )
+from . import multibody
 
 __all__ = [
     "SE2",
     "SO2",
+    "SE3",
+    "SO3",
     "ODE",
     "LinearODE",
     "IntegratorEuler",
     "IntegratorSemiImplEuler",
     "IntegratorRK2",
     "IntegratorRK4",
+    "multibody",
 ]

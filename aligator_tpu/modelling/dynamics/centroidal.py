@@ -1,0 +1,114 @@
+"""Centroidal dynamics.
+
+Counterpart of ``CentroidalFwdDynamicsTpl`` (reference
+``modelling/dynamics/centroidal-fwd.hpp:24``) and its continuous variant:
+state x = (c, h, L) ∈ R⁹ (CoM position, linear momentum, angular momentum),
+control u = stacked 3D contact forces at known contact points:
+
+  ċ = h / m
+  ḣ = m·g + Σᵢ fᵢ
+  L̇ = Σᵢ (pᵢ − c) × fᵢ
+
+The contact map (active flags + world points) is a pytree of arrays so
+contact schedules can vary per stage (stacked leaves).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..._pytree import pytree_dataclass
+from .ode import ODE
+
+
+@pytree_dataclass
+class ContactMap:
+    """Counterpart of ``ContactMapTpl`` (reference
+    ``modelling/contact-map.hpp:8``)."""
+
+    points: jax.Array  # (n_contacts, 3) world positions
+    active: jax.Array  # (n_contacts,) 0/1 flags
+
+    @property
+    def n_contacts(self) -> int:
+        return self.points.shape[-2]
+
+
+@pytree_dataclass
+class CentroidalFwdDynamics(ODE):
+    contact_map: ContactMap
+    mass: jax.Array
+    gravity: jax.Array  # (3,)
+
+    def xdot(self, space, x, u):
+        c, h = x[..., 0:3], x[..., 3:6]
+        forces = u.reshape((-1, 3))
+        act = self.contact_map.active[..., None]
+        f_tot = jnp.sum(act * forces, axis=-2)
+        tau = jnp.sum(
+            act * jnp.cross(self.contact_map.points - c[..., None, :], forces),
+            axis=-2,
+        )
+        cdot = h / self.mass
+        hdot = self.mass * self.gravity + f_tot
+        Ldot = tau
+        return jnp.concatenate([cdot, hdot, Ldot], axis=-1)
+
+
+@pytree_dataclass
+class KinodynamicsFwdDynamics(ODE):
+    """Counterpart of ``KinodynamicsFwdDynamicsTpl`` (reference
+    ``modelling/dynamics/kinodynamics-fwd.hpp:32``): centroidal state
+    (c, h, L) coupled with joint configuration q_j driven by *commanded*
+    joint accelerations; u = (contact forces, joint accelerations).
+
+    State x = (c, h, L, q_j, v_j) on R⁹ × R^{nj} × R^{nj}.
+    """
+
+    contact_map: ContactMap
+    mass: jax.Array
+    gravity: jax.Array
+    n_joints: int = 0
+
+    def xdot(self, space, x, u):
+        nj = self.n_joints
+        nf = 3 * self.contact_map.n_contacts
+        c, h = x[..., 0:3], x[..., 3:6]
+        vj = x[..., 9 + nj : 9 + 2 * nj]
+        forces = u[..., :nf].reshape((-1, 3))
+        aj = u[..., nf:]
+        act = self.contact_map.active[..., None]
+        f_tot = jnp.sum(act * forces, axis=-2)
+        tau = jnp.sum(
+            act * jnp.cross(self.contact_map.points - c[..., None, :], forces),
+            axis=-2,
+        )
+        cdot = h / self.mass
+        hdot = self.mass * self.gravity + f_tot
+        Ldot = tau
+        return jnp.concatenate([cdot, hdot, Ldot, vj, aj], axis=-1)
+
+
+@pytree_dataclass
+class WheeledInvertedPendulumDynamics(ODE):
+    """Counterpart of ``modelling/dynamics/wheeled-inverted-pendulum.hpp:8``:
+    planar segway model. State (x, θ, ẋ, θ̇); control = wheel torque."""
+
+    mass_cart: jax.Array
+    mass_pole: jax.Array
+    length: jax.Array
+    wheel_radius: jax.Array
+    gravity: jax.Array
+
+    def xdot(self, space, x, u):
+        th, xd, thd = x[..., 1], x[..., 2], x[..., 3]
+        f = u[..., 0] / self.wheel_radius
+        s, c = jnp.sin(th), jnp.cos(th)
+        mt = self.mass_cart + self.mass_pole
+        mp, l, g = self.mass_pole, self.length, self.gravity
+        denom = mt - mp * c * c
+        # inverted pendulum (θ = 0 upright, gravity destabilizing)
+        xdd = (f + mp * s * (l * thd**2 - g * c)) / denom
+        thdd = (-f * c - mp * l * thd**2 * c * s + mt * g * s) / (l * denom)
+        return jnp.stack([xd, thd, xdd, thdd], axis=-1)

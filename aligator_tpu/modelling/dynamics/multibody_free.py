@@ -1,0 +1,49 @@
+"""Free (unconstrained) multibody forward dynamics.
+
+Counterpart of ``MultibodyFreeFwdDynamicsTpl`` (reference
+``modelling/dynamics/multibody-free-fwd.hpp:25``): phase-space ODE
+``(q̇, v̇) = (v, FD(q, v, B·u))`` with an actuation matrix B. The reference
+calls Pinocchio's ABA; here the JAX rigid-body layer provides it, and
+derivatives come from autodiff instead of analytical ABA derivatives.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..._pytree import pytree_dataclass
+from ..multibody import model as rbd
+from .ode import ODE
+
+
+@pytree_dataclass
+class MultibodyFreeFwdDynamics(ODE):
+    model: rbd.RobotModel
+    actuation: jax.Array  # (nv, nu)
+
+    def xdot(self, space, x, u):
+        nq = self.model.nq
+        q, v = x[..., :nq], x[..., nq:]
+        tau = self.actuation @ u
+        a = rbd.aba(self.model, q, v, tau)
+        # tangent of the phase space = (dq, dv)
+        return jnp.concatenate([v, a], axis=-1)
+
+
+@pytree_dataclass
+class MultibodyGravityCompensatedDynamics(ODE):
+    """Velocity-damped, gravity-compensated variant (useful for kinematic
+    reaching tasks): v̇ = FD(q, v, g(q) + B·u)."""
+
+    model: rbd.RobotModel
+    actuation: jax.Array
+
+    def xdot(self, space, x, u):
+        nq = self.model.nq
+        q, v = x[..., :nq], x[..., nq:]
+        zero = jnp.zeros_like(v)
+        grav = rbd.rnea(self.model, q, zero, zero)
+        tau = grav + self.actuation @ u
+        a = rbd.aba(self.model, q, v, tau)
+        return jnp.concatenate([v, a], axis=-1)

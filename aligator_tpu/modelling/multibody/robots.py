@@ -1,0 +1,159 @@
+"""Built-in robot models (no external model files needed).
+
+These are hand-authored descriptions: an analytic double pendulum used for
+validation against closed-form dynamics, a planar quadrotor-like free-flyer,
+and a UR5-like 6-DOF arm built from the publicly documented nominal
+kinematic/inertial parameters of the UR5 (role of the reference's
+``examples/ur5_reach.py`` model, which loads it from example-robot-data).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .model import FREEFLYER, REVOLUTE, RobotModel, make_model
+
+
+def _rpy_quat(r, p, y):
+    """Quaternion (x,y,z,w) from roll-pitch-yaw (URDF convention)."""
+    cr, sr = jnp.cos(r / 2), jnp.sin(r / 2)
+    cp, sp = jnp.cos(p / 2), jnp.sin(p / 2)
+    cy, sy = jnp.cos(y / 2), jnp.sin(y / 2)
+    return jnp.array(
+        [
+            sr * cp * cy - cr * sp * sy,
+            cr * sp * cy + sr * cp * sy,
+            cr * cp * sy - sr * sp * cy,
+            cr * cp * cy + sr * sp * sy,
+        ]
+    )
+
+
+def make_double_pendulum(l1=1.0, l2=1.0, m1=1.0, m2=1.0) -> RobotModel:
+    """Planar double pendulum: two revolute joints about +y, point masses at
+    the link tips, hanging along −z at q = 0."""
+    eps = 1e-8  # tiny rotational inertia keeps M(q) well-conditioned
+    joints = [
+        dict(
+            type=REVOLUTE,
+            parent=-1,
+            axis=jnp.array([0.0, 1.0, 0.0]),
+            mass=m1,
+            com=jnp.array([0.0, 0.0, -l1]),
+            inertia=eps * jnp.eye(3),
+        ),
+        dict(
+            type=REVOLUTE,
+            parent=0,
+            placement_p=jnp.array([0.0, 0.0, -l1]),
+            axis=jnp.array([0.0, 1.0, 0.0]),
+            mass=m2,
+            com=jnp.array([0.0, 0.0, -l2]),
+            inertia=eps * jnp.eye(3),
+        ),
+    ]
+    frames = [
+        dict(name="tip", parent=1, placement_p=jnp.array([0.0, 0.0, -l2])),
+    ]
+    return make_model(joints, frames)
+
+
+def make_pendulum(l=1.0, m=1.0) -> RobotModel:
+    joints = [
+        dict(
+            type=REVOLUTE,
+            parent=-1,
+            axis=jnp.array([0.0, 1.0, 0.0]),
+            mass=m,
+            com=jnp.array([0.0, 0.0, -l]),
+            inertia=1e-8 * jnp.eye(3),
+        )
+    ]
+    frames = [dict(name="tip", parent=0, placement_p=jnp.array([0.0, 0.0, -l]))]
+    return make_model(joints, frames)
+
+
+def make_ur5() -> RobotModel:
+    """UR5-like 6-DOF arm from nominal public UR5 parameters
+    (kinematics per the UR5 URDF chain; inertias are the published
+    link masses with standard CoM offsets)."""
+    half_pi = jnp.pi / 2
+
+    def diag(x, y, z):
+        return jnp.diag(jnp.array([x, y, z]))
+
+    joints = [
+        # shoulder_pan (about z)
+        dict(
+            type=REVOLUTE, parent=-1,
+            placement_p=jnp.array([0.0, 0.0, 0.089159]),
+            axis=jnp.array([0.0, 0.0, 1.0]),
+            mass=3.7, com=jnp.array([0.0, 0.0, 0.0]),
+            inertia=diag(0.0103, 0.0103, 0.0067),
+        ),
+        # shoulder_lift (about y)
+        dict(
+            type=REVOLUTE, parent=0,
+            placement_p=jnp.array([0.0, 0.13585, 0.0]),
+            placement_q=_rpy_quat(0.0, half_pi, 0.0),
+            axis=jnp.array([0.0, 1.0, 0.0]),
+            mass=8.393, com=jnp.array([0.0, 0.0, 0.28]),
+            inertia=diag(0.2269, 0.2269, 0.0151),
+        ),
+        # elbow (about y)
+        dict(
+            type=REVOLUTE, parent=1,
+            placement_p=jnp.array([0.0, -0.1197, 0.425]),
+            axis=jnp.array([0.0, 1.0, 0.0]),
+            mass=2.275, com=jnp.array([0.0, 0.0, 0.25]),
+            inertia=diag(0.0494, 0.0494, 0.0041),
+        ),
+        # wrist_1 (about y)
+        dict(
+            type=REVOLUTE, parent=2,
+            placement_p=jnp.array([0.0, 0.0, 0.39225]),
+            placement_q=_rpy_quat(0.0, half_pi, 0.0),
+            axis=jnp.array([0.0, 1.0, 0.0]),
+            mass=1.219, com=jnp.array([0.0, 0.0, 0.0]),
+            inertia=diag(0.0111, 0.0111, 0.0022),
+        ),
+        # wrist_2 (about z)
+        dict(
+            type=REVOLUTE, parent=3,
+            placement_p=jnp.array([0.0, 0.093, 0.0]),
+            axis=jnp.array([0.0, 0.0, 1.0]),
+            mass=1.219, com=jnp.array([0.0, 0.0, 0.0]),
+            inertia=diag(0.0111, 0.0111, 0.0022),
+        ),
+        # wrist_3 (about y)
+        dict(
+            type=REVOLUTE, parent=4,
+            placement_p=jnp.array([0.0, 0.0, 0.09465]),
+            axis=jnp.array([0.0, 1.0, 0.0]),
+            mass=0.1879, com=jnp.array([0.0, 0.0, 0.0]),
+            inertia=diag(0.00033, 0.00033, 0.00021),
+        ),
+    ]
+    frames = [
+        dict(
+            name="ee",
+            parent=5,
+            placement_p=jnp.array([0.0, 0.0823, 0.0]),
+            placement_q=_rpy_quat(0.0, 0.0, half_pi),
+        ),
+    ]
+    return make_model(joints, frames)
+
+
+def make_free_sphere(mass=1.0, radius=0.2) -> RobotModel:
+    """Free-floating rigid body (validation of free-flyer dynamics:
+    momentum conservation, ballistic CoM)."""
+    I = (2.0 / 5.0) * mass * radius**2
+    joints = [
+        dict(
+            type=FREEFLYER, parent=-1,
+            mass=mass, com=jnp.zeros(3), inertia=I * jnp.eye(3),
+        )
+    ]
+    frames = [dict(name="center", parent=0)]
+    return make_model(joints, frames)

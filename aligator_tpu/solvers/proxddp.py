@@ -88,6 +88,9 @@ class ProxDDPConfig:
     # 'nonlinear' (reference default)
     rollout: str = "linear"
     force_initial_condition: bool = True
+    # record per-iteration convergence traces (HistoryCallback equivalent,
+    # reference core/history-callback.hpp:14)
+    record_history: bool = False
     # initial BCL tolerances
     inner_tol0: float = 1.0
     prim_tol0: float = 1.0
@@ -116,6 +119,8 @@ class ProxDDPResults:
     # control feedback gains of the last LQ solve (for MPC)
     K: Optional[jax.Array] = None  # (N, nu, ndx)
     kff: Optional[jax.Array] = None  # (N, nu)
+    # per-iteration traces [prim, dual, inner_crit, cost, merit, mu, al_iter]
+    history: Optional[jax.Array] = None  # (max_iters, 7)
 
 
 @pytree_dataclass
@@ -146,6 +151,7 @@ class _State:
     ls_avg_weight: jax.Array
     K: jax.Array
     kff: jax.Array
+    history: jax.Array  # (max_iters, 7) or (0, 7)
 
 
 def _infnorm(a):
@@ -487,6 +493,9 @@ def solve(
         fail=jnp.asarray(False),
         ls_mov_avg=jnp.asarray(0.0, dtype),
         ls_avg_weight=jnp.asarray(0.0, dtype),
+        history=jnp.zeros(
+            (cfg.max_iters if cfg.record_history else 0, 7), dtype
+        ),
         K=jnp.zeros((N + 1, nu, ndx), dtype),
         kff=jnp.zeros((N + 1, nu), dtype),
     )
@@ -707,6 +716,14 @@ def solve(
             inner_crit=crit,
             cost=data.cost,
         )
+        if cfg.record_history:
+            row = jnp.stack(
+                [
+                    prim, dual, crit, data.cost, st.merit, st.mu,
+                    st.al_iter.astype(dtype),
+                ]
+            )
+            st = replace(st, history=st.history.at[st.iter].set(row))
 
         overall = jnp.logical_and(
             dual <= cfg.target_dual_tol, prim <= cfg.tol
@@ -754,4 +771,5 @@ def solve(
         merit_value=st.merit,
         K=st.K[: problem.nsteps],
         kff=st.kff[: problem.nsteps],
+        history=st.history if cfg.record_history else None,
     )

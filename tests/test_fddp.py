@@ -1,0 +1,50 @@
+"""FDDP tests (reference ``tests/python/test_solver.py:40-127``: FDDP on LQR
+converges in 2 iterations; agreement with ProxDDP on unconstrained problems)."""
+
+import jax
+import jax.numpy as jnp
+
+from aligator_tpu import solvers
+from aligator_tpu.solvers import fddp
+from tests.test_proxddp import make_lqr
+
+
+def test_fddp_lqr_two_iters():
+    problem = make_lqr(nsteps=20)
+    res = fddp.solve(problem, fddp.FDDPConfig(tol=1e-7, max_iters=10))
+    assert bool(res.conv)
+    assert int(res.num_iters) <= 2
+    assert float(res.prim_infeas) < 1e-7
+    assert float(res.dual_infeas) < 1e-7
+
+
+def test_fddp_matches_proxddp_unconstrained():
+    problem = make_lqr(nsteps=30)
+    r1 = fddp.solve(problem, fddp.FDDPConfig(tol=1e-9, max_iters=20))
+    r2 = solvers.solve(problem, solvers.ProxDDPConfig(tol=1e-9, max_iters=20))
+    assert bool(r1.conv) and bool(r2.conv)
+    assert float(jnp.max(jnp.abs(r1.us - r2.us))) < 1e-6
+
+
+def test_fddp_se2_car():
+    from examples.se2_car import create_se2_problem
+
+    problem = create_se2_problem(nsteps=30, dtype=jnp.float64)
+    res = fddp.solve(problem, fddp.FDDPConfig(tol=1e-6, max_iters=50))
+    assert bool(res.conv)
+    assert float(res.prim_infeas) < 1e-6
+
+
+def test_fddp_jit_vmap():
+    from aligator_tpu._pytree import replace
+
+    problem = make_lqr(nsteps=15)
+    cfg = fddp.FDDPConfig(tol=1e-7, max_iters=10)
+
+    @jax.jit
+    def batch(x0s):
+        return jax.vmap(lambda x0: fddp.solve(replace(problem, x0=x0), cfg))(x0s)
+
+    x0s = jnp.array([[1.0, 0.0], [-0.5, 0.25]], jnp.float64)
+    res = batch(x0s)
+    assert bool(jnp.all(res.conv))

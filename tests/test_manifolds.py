@@ -7,14 +7,18 @@ import jax.numpy as jnp
 import pytest
 
 from aligator_tpu.core import CartesianProduct, TangentBundle, VectorSpace
-from aligator_tpu.modelling import SE2, SO2
+from aligator_tpu.modelling import SE2, SE3, SO2, SO3
 
 SPACES = [
     VectorSpace(4),
     SO2(),
     SE2(),
+    SO3(),
+    SE3(),
     CartesianProduct(SE2(), VectorSpace(3)),
+    CartesianProduct(SE3(), VectorSpace(6)),
     TangentBundle(SE2()),
+    TangentBundle(SE3()),
 ]
 
 

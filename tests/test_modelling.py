@@ -1,0 +1,168 @@
+"""Modelling-layer tests: residual/cost derivatives vs finite differences
+(the reference's core pytest pattern — e.g. ``tests/python/test_frames.py``,
+``test_costs.py``, ``test_centroidal.py``), centroidal dynamics, direct sums.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aligator_tpu import core
+from aligator_tpu.modelling import SE2, IntegratorEuler, IntegratorRK2
+from aligator_tpu.modelling.autodiff import (
+    fd_cost_gradients,
+    fd_dynamics_jacobians,
+    fd_stage_function_jacobians,
+)
+from aligator_tpu.modelling.centroidal import (
+    AngularAccelerationResidual,
+    AngularMomentumResidual,
+    CentroidalAccelerationResidual,
+    CentroidalCoMResidual,
+    CentroidalFrictionConeResidual,
+    LinearMomentumResidual,
+)
+from aligator_tpu.modelling.dynamics.centroidal import (
+    CentroidalFwdDynamics,
+    ContactMap,
+)
+from aligator_tpu.modelling.multibody.residuals import (
+    FramePlacementResidual,
+    FrameTranslationResidual,
+    FrameVelocityResidual,
+)
+from aligator_tpu.modelling.multibody.robots import make_ur5
+from aligator_tpu.modelling.multibody import model as rbd
+
+
+def test_frame_residual_jacobians_vs_fd():
+    model = make_ur5()
+    space = model.phase_space()
+    x = jnp.concatenate(
+        [jax.random.normal(jax.random.PRNGKey(0), (model.nq,)), jnp.zeros(model.nv)]
+    )
+    u = jnp.zeros(6)
+
+    res = FrameTranslationResidual(
+        model=model, p_ref=jnp.array([0.3, 0.2, 0.4]), frame_id=model.frame_id("ee")
+    )
+    Jx, Ju = res.jacobians(space, x, u)
+    Jx_fd, Ju_fd = fd_stage_function_jacobians(res, space, x, u)
+    assert jnp.allclose(Jx, Jx_fd, atol=1e-5)
+    assert jnp.allclose(Ju, Ju_fd, atol=1e-8)
+
+
+def test_frame_placement_residual_zero_at_target():
+    model = make_ur5()
+    space = model.phase_space()
+    q = jax.random.normal(jax.random.PRNGKey(1), (model.nq,))
+    x = jnp.concatenate([q, jnp.zeros(model.nv)])
+    R, p = rbd.frame_placement(model, q, model.frame_id("ee"))
+    res = FramePlacementResidual(
+        model=model, R_ref=R, p_ref=p, frame_id=model.frame_id("ee")
+    )
+    v = res.value(space, x, jnp.zeros(6))
+    assert jnp.allclose(v, 0.0, atol=1e-8)
+    # and nonzero away from the target
+    x2 = x.at[0].add(0.2)
+    assert float(jnp.abs(res.value(space, x2, jnp.zeros(6))).max()) > 1e-3
+
+
+def test_frame_velocity_residual_fd():
+    model = make_ur5()
+    space = model.phase_space()
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (model.nq + model.nv,))
+    u = jnp.zeros(6)
+    res = FrameVelocityResidual(
+        model=model, v_ref=jnp.zeros(6), frame_id=model.frame_id("ee")
+    )
+    Jx, _ = res.jacobians(space, x, u)
+    Jx_fd, _ = fd_stage_function_jacobians(res, space, x, u)
+    assert jnp.allclose(Jx, Jx_fd, atol=1e-4)
+
+
+def test_centroidal_dynamics_momentum_balance():
+    cmap = ContactMap(
+        points=jnp.array([[0.1, 0.0, 0.0], [-0.1, 0.0, 0.0]]),
+        active=jnp.array([1.0, 1.0]),
+    )
+    dyn = CentroidalFwdDynamics(
+        contact_map=cmap, mass=jnp.asarray(30.0), gravity=jnp.array([0, 0, -9.81])
+    )
+    space = core.VectorSpace(9)
+    x = jnp.zeros(9).at[3:6].set(jnp.array([1.0, 0.0, 0.0]))
+    # forces exactly cancel gravity
+    fz = 30.0 * 9.81 / 2
+    u = jnp.array([0.0, 0.0, fz, 0.0, 0.0, fz])
+    xdot = dyn.xdot(space, x, u)
+    assert jnp.allclose(xdot[0:3], jnp.array([1.0 / 30.0, 0.0, 0.0]))
+    assert jnp.allclose(xdot[3:6], 0.0, atol=1e-10)
+    # symmetric contacts with equal vertical force → zero angular momentum rate
+    assert jnp.allclose(xdot[6:9], 0.0, atol=1e-10)
+
+
+def test_centroidal_residuals_basic():
+    space = core.VectorSpace(9)
+    x = jnp.arange(9.0)
+    u = jnp.array([1.0, 2.0, 3.0])
+    assert jnp.allclose(
+        CentroidalCoMResidual(c_ref=jnp.zeros(3)).value(space, x, u), x[:3]
+    )
+    assert jnp.allclose(
+        LinearMomentumResidual(h_ref=jnp.zeros(3)).value(space, x, u), x[3:6]
+    )
+    assert jnp.allclose(
+        AngularMomentumResidual(L_ref=jnp.zeros(3)).value(space, x, u), x[6:9]
+    )
+    cone = CentroidalFrictionConeResidual(mu=jnp.asarray(0.7), eps=jnp.asarray(0.0))
+    r = cone.value(space, x, jnp.array([0.0, 0.0, 10.0]))
+    assert bool(jnp.all(r <= 0.0))  # inside the cone
+    r2 = cone.value(space, x, jnp.array([20.0, 0.0, 10.0]))
+    assert float(r2.max()) > 0.0  # outside
+
+
+def test_cost_gradients_vs_fd_on_se2():
+    space = SE2()
+    x = space.rand(jax.random.PRNGKey(5))
+    u = jnp.array([0.3, -0.2])
+    cost = core.QuadraticStateCost(space.neutral(), 0.7 * jnp.eye(3))
+    Lx, Lu = cost.gradients(space, x, u)
+    gx, gu = fd_cost_gradients(cost, space, x, u)
+    assert jnp.allclose(Lx, gx, atol=1e-5)
+    assert jnp.allclose(Lu, gu, atol=1e-8)
+
+
+def test_dynamics_jacobians_vs_fd_se2():
+    from examples.se2_car import CarDynamics
+
+    space = SE2()
+    dyn = IntegratorRK2(ode=CarDynamics(), timestep=jnp.asarray(0.1))
+    x = space.rand(jax.random.PRNGKey(6))
+    u = jnp.array([0.5, 0.3])
+    y = dyn.forward(space, x, u)
+    A, B, E = dyn.jacobians(space, x, u, y)
+    A_fd, B_fd, E_fd = fd_dynamics_jacobians(dyn, space, x, u)
+    assert jnp.allclose(A, A_fd, atol=1e-5)
+    assert jnp.allclose(B, B_fd, atol=1e-5)
+    assert jnp.allclose(E, E_fd, atol=1e-5)
+
+
+def test_direct_sum_dynamics():
+    from aligator_tpu.modelling.dynamics.direct_sum import direct_sum
+
+    s1 = core.VectorSpace(2)
+    d1 = core.LinearDiscreteDynamics(
+        A=jnp.eye(2) * 0.9, B=jnp.ones((2, 1)), c=jnp.zeros(2)
+    )
+    s2 = core.VectorSpace(3)
+    d2 = core.LinearDiscreteDynamics(
+        A=jnp.eye(3) * 1.1, B=jnp.zeros((3, 2)), c=jnp.ones(3)
+    )
+    dyn, space, nu = direct_sum(d1, s1, 1, d2, s2, 2)
+    assert space.nx == 5 and nu == 3
+    x = jnp.arange(5.0)
+    u = jnp.array([1.0, 0.0, 0.0])
+    y = dyn.forward(space, x, u)
+    assert jnp.allclose(y[:2], 0.9 * x[:2] + 1.0)
+    assert jnp.allclose(y[2:], 1.1 * x[2:] + 1.0)
