@@ -74,3 +74,47 @@ class LinearDiscreteDynamics(ExplicitDynamics):
         dt = jnp.result_type(x)
         E = -jnp.eye(self.A.shape[-1], dtype=dt)
         return self.A, self.B, E
+
+
+class ImplicitDynamics(ExplicitDynamics):
+    """Implicit discrete dynamics r(x, u, y) = 0 (reference
+    ``DynamicsModelTpl``, ``core/dynamics.hpp:14``).
+
+    Subclasses implement ``residual``; ``forward`` solves the residual with a
+    fixed-iteration Newton method on the manifold (reference
+    ``utils/forward-dyn.hpp:18-57`` / ``utils/newton-raphson.hpp:11``),
+    jit-compatible (no data-dependent control flow).
+    """
+
+    newton_iters: int = 5
+
+    def residual(self, space, x, u, y):
+        raise NotImplementedError
+
+    @property
+    def is_explicit(self) -> bool:
+        return False
+
+    def forward_with_gap(self, space, x, u, gap=None, iters=None):
+        """Solve r(x, u, y) + gap = 0 for y by Newton iterations seeded at x."""
+        iters = self.newton_iters if iters is None else iters
+
+        def body(y, _):
+            r = self.residual(space, x, u, y)
+            if gap is not None:
+                r = r + gap
+            dt = jnp.result_type(x)
+
+            def f_dy(dy):
+                rr = self.residual(space, x, u, space.integrate(y, dy))
+                return rr + gap if gap is not None else rr
+
+            E = jax.jacfwd(f_dy)(jnp.zeros((space.ndx,), dt))
+            dy = -jnp.linalg.solve(E, r)
+            return space.integrate(y, dy), None
+
+        y, _ = jax.lax.scan(body, x, None, length=iters)
+        return y
+
+    def forward(self, space, x, u):
+        return self.forward_with_gap(space, x, u, None)

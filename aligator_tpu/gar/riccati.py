@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .._pytree import pytree_dataclass
+from . import smallmat
 from .lqr_problem import LQRKnots, LQRProblem
 
 
@@ -38,9 +39,15 @@ def _sym(M):
 
 
 def _chol_solve(M, B):
-    """Solve M X = B with M symmetric positive definite (Cholesky)."""
-    c = jax.scipy.linalg.cho_factor(M, lower=True)
-    return jax.scipy.linalg.cho_solve(c, B)
+    """Solve M X = B with M SPD (closed form for tiny M, Cholesky else)."""
+    return smallmat.solve_spd(M, B)
+
+
+def _spd_solver(M):
+    """Return a solve closure for SPD M, amortizing the factorization:
+    tiny M → hand-unrolled scalar Cholesky (fuses in-scan, LAPACK-grade
+    accuracy); larger M → cho_factor reused across solves."""
+    return smallmat.spd_solver(M)
 
 
 @pytree_dataclass
@@ -133,14 +140,14 @@ def _stage_kernel(knot, carry, mudyn, mueq, assume_explicit, nth):
         ptilde = p_n
         Einv = None
     else:
-        Einv = jnp.linalg.solve(E, eye)
+        Einv = smallmat.inv(E) if nx <= smallmat._CLOSED_FORM_MAX else jnp.linalg.solve(E, eye)
         Ptilde = _sym(Einv.T @ P_n @ Einv)
         ptilde = -(Einv.T @ p_n)
 
     schur = eye + mudyn * Ptilde
-    schur_c = jax.scipy.linalg.cho_factor(_sym_pd(schur), lower=True)
-    Vxx = _sym(jax.scipy.linalg.cho_solve(schur_c, Ptilde))
-    vx = jax.scipy.linalg.cho_solve(schur_c, ptilde + Ptilde @ f)
+    schur_solve = _spd_solver(_sym_pd(schur))
+    Vxx = _sym(schur_solve(Ptilde))
+    vx = schur_solve(ptilde + Ptilde @ f)
 
     AtV = A.T @ Vxx
     BtV = B.T @ Vxx
@@ -178,7 +185,7 @@ def _stage_kernel(knot, carry, mudyn, mueq, assume_explicit, nth):
             Pxttilde = Vxt_n
         else:
             Pxttilde = -(Einv.T @ Vxt_n)
-        Pxttilde = jax.scipy.linalg.cho_solve(schur_c, Pxttilde)
+        Pxttilde = schur_solve(Pxttilde)
         Guhat = Gu + B.T @ Pxttilde
         Kth, Zth = _reduced_kkt_solve(
             Rhat, D, mueq, -Guhat, jnp.zeros((D.shape[0], Guhat.shape[1]), dt)

@@ -5,6 +5,7 @@ from .spaces.se3 import SE3, SO3
 from .dynamics.ode import (
     ODE,
     IntegratorEuler,
+    IntegratorMidpoint,
     IntegratorRK2,
     IntegratorRK4,
     IntegratorSemiImplEuler,
@@ -20,6 +21,7 @@ __all__ = [
     "ODE",
     "LinearODE",
     "IntegratorEuler",
+    "IntegratorMidpoint",
     "IntegratorSemiImplEuler",
     "IntegratorRK2",
     "IntegratorRK4",

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..._pytree import pytree_dataclass
+from ..._pytree import pytree_dataclass, static_field
 from ...core.dynamics import ExplicitDynamics
 from ...core.manifolds import Manifold, TangentBundle
 
@@ -105,3 +105,46 @@ class IntegratorRK4(ExplicitDynamics):
         k3 = self.ode.xdot(space, space.integrate(x, 0.5 * h * k2), u)
         k4 = self.ode.xdot(space, space.integrate(x, h * k3), u)
         return space.integrate(x, (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4))
+
+
+@pytree_dataclass
+class IntegratorMidpoint(ExplicitDynamics):
+    """Implicit midpoint rule (reference ``integrator-midpoint.hpp:28``):
+    residual r(x, u, y) = (y ⊖ x) − h·f(mid(x, y), u) = 0, solved by Newton
+    in :meth:`forward` (symplectic, 2nd order, good for stiff/conservative
+    systems)."""
+
+    ode: ODE
+    timestep: jax.Array
+    newton_iters: int = static_field(default=5)
+
+    @property
+    def is_explicit(self) -> bool:
+        return False
+
+    def residual(self, space, x, u, y):
+        mid = space.interpolate(x, y, 0.5)
+        return space.difference(x, y) - self.timestep * self.ode.xdot(space, mid, u)
+
+    def forward_with_gap(self, space, x, u, gap=None, iters=None):
+        iters = self.newton_iters if iters is None else iters
+
+        def body(y, _):
+            r = self.residual(space, x, u, y)
+            if gap is not None:
+                r = r + gap
+            dt = jnp.result_type(x)
+
+            def f_dy(dy):
+                rr = self.residual(space, x, u, space.integrate(y, dy))
+                return rr + gap if gap is not None else rr
+
+            E = jax.jacfwd(f_dy)(jnp.zeros((space.ndx,), dt))
+            dy = -jnp.linalg.solve(E, r)
+            return space.integrate(y, dy), None
+
+        y, _ = jax.lax.scan(body, x, None, length=iters)
+        return y
+
+    def forward(self, space, x, u):
+        return self.forward_with_gap(space, x, u, None)

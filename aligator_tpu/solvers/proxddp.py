@@ -80,9 +80,15 @@ class ProxDDPConfig:
     ls_max_steps: int = 20
     ls_contraction: float = 0.5
     # step acceptance: 'nonmonotone' (Zhang-Hager moving average, the
-    # reference default) or 'armijo' (monotone backtracking)
+    # reference default), 'armijo' (monotone backtracking), or 'filter'
+    # (merit/infeasibility dominance filter, reference core/filter.hpp:12)
     ls_strategy: str = "nonmonotone"
     ls_avg_eta: float = 0.85
+    filter_beta: float = 0.0
+    filter_size: int = 40
+    # multiplier update on BCL success (reference core/enums.hpp:23):
+    # 'newton' | 'primal' | 'primal_dual'
+    multiplier_update_mode: str = "newton"
     dphi_thresh: float = 1e-13
     # rollout type: 'linear' (TPU-friendly, parallel-solver compatible) or
     # 'nonlinear' (reference default)
@@ -149,6 +155,8 @@ class _State:
     fail: jax.Array
     ls_mov_avg: jax.Array
     ls_avg_weight: jax.Array
+    filter_vals: jax.Array  # (F, 2) (merit, infeas) pairs
+    filter_valid: jax.Array  # (F,) bool
     K: jax.Array
     kff: jax.Array
     history: jax.Array  # (max_iters, 7) or (0, 7)
@@ -376,9 +384,16 @@ def _nonlinear_rollout(problem, cfg, state, factors, steps, alpha, mu):
         v_tr = v_cur + dv
         dlam = alpha * lff + L @ dx
         lam_tr = lam_next + dlam
-        xpred = stage.dynamics.forward(space, x_tr, u_tr)
         slack = mudyn * (prev_lam_next - lam_tr)
-        x_next_tr = space.integrate(xpred, slack)
+        if stage.dynamics.is_explicit:
+            xpred = stage.dynamics.forward(space, x_tr, u_tr)
+            x_next_tr = space.integrate(xpred, slack)
+        else:
+            # implicit dynamics: Newton-solve r(x,u,y) + slack = 0 in-loop
+            # (reference forwardDynamics::run, utils/forward-dyn.hpp:38-55)
+            x_next_tr = stage.dynamics.forward_with_gap(
+                space, x_tr, u_tr, slack, iters=1
+            )
         dx_next = space.difference(x_next, x_next_tr)
         return (x_next_tr, dx_next), dict(
             x=x_tr, u=u_tr, v=v_tr, lam=lam_tr, slack=slack
@@ -425,7 +440,12 @@ def _forward_pass(problem, cfg, state, factors, steps, alpha, mu):
         data = replace(data, dyn_res=-slacks)
     m = _compute_multipliers(problem, cfg, data, state, tlams, tvs, tvt)
     phi = _merit_value(cfg, mu, data.cost, m)
-    return (txs, tus, tvs, tvt, tlams), data.cost, phi
+    stage_infeas = jnp.maximum(
+        _infnorm(mu * (m["vs_plus"] - state.prev_vs)),
+        _infnorm(mu * (m["vs_plus_t"] - state.prev_vs_term)),
+    )
+    prim = jnp.maximum(stage_infeas, _infnorm(m["dyn_slacks"]))
+    return (txs, tus, tvs, tvt, tlams), data.cost, phi, prim
 
 
 # ---------------------------------------------------------------------------
@@ -466,7 +486,11 @@ def solve(
     )
     prim_tol = jnp.maximum(cfg.prim_tol0 * arg0**cfg.prim_alpha, cfg.tol)
 
-    assume_explicit = isinstance(space, VectorSpace)
+    # E = -I fast path: valid only for explicit dynamics on a vector space
+    # (implicit integrators produce general E blocks).
+    assume_explicit = isinstance(space, VectorSpace) and getattr(
+        problem.stages.dynamics, "is_explicit", True
+    )
 
     st = _State(
         xs=xs_init,
@@ -493,6 +517,8 @@ def solve(
         fail=jnp.asarray(False),
         ls_mov_avg=jnp.asarray(0.0, dtype),
         ls_avg_weight=jnp.asarray(0.0, dtype),
+        filter_vals=jnp.zeros((cfg.filter_size, 2), dtype),
+        filter_valid=jnp.zeros((cfg.filter_size,), bool),
         history=jnp.zeros(
             (cfg.max_iters if cfg.record_history else 0, 7), dtype
         ),
@@ -521,8 +547,19 @@ def solve(
             return pt, it
 
         pt_s, it_s = tighten_loop((st.prim_tol, st.inner_tol))
-        # NEWTON multiplier update mode (reference default): prev ← current
-        prev_vs_s, prev_vt_s, prev_lams_s = st.vs, st.vs_term, st.lams
+        # multiplier update mode (reference run():535-550)
+        if cfg.multiplier_update_mode == "newton":
+            prev_vs_s, prev_vt_s, prev_lams_s = st.vs, st.vs_term, st.lams
+        elif cfg.multiplier_update_mode == "primal":
+            prev_vs_s = m["vs_plus"]
+            prev_vt_s = m["vs_plus_t"]
+            prev_lams_s = m["lams_plus"]
+        elif cfg.multiplier_update_mode == "primal_dual":
+            prev_vs_s = m["vs_pdal"]
+            prev_vt_s = m["vs_pdal_t"]
+            prev_lams_s = m["lams_pdal"]
+        else:
+            raise ValueError(cfg.multiplier_update_mode)
 
         # failure branch: increase penalty, loosen tolerances
         mu_f = jnp.maximum(st.mu * cfg.mu_update_factor, cfg.mu_lower_bound)
@@ -611,12 +648,9 @@ def solve(
         )
         dphi0 = jnp.sum(Lxs_p * dxs) + jnp.sum(Lus_p * dus)
 
-        # --- Armijo backtracking (bisection) ---
+        # --- step acceptance: backtracking on merit / filter ---
         def try_alpha(alpha):
-            trial, cost, phi = _forward_pass(
-                problem, cfg, st, factors, steps, alpha, st.mu
-            )
-            return trial, cost, phi
+            return _forward_pass(problem, cfg, st, factors, steps, alpha, st.mu)
 
         # Nonmonotone (Zhang-Hager 2004) moving-average reference value
         # (reference core/linesearch-nonmonotone.hpp:42-46); with
@@ -632,28 +666,80 @@ def solve(
         else:
             phi_ref = phi0
 
-        trial1, cost1, phi1 = try_alpha(jnp.asarray(1.0, dtype))
+        trial1, cost1, phi1, prim1 = try_alpha(jnp.asarray(1.0, dtype))
 
-        def ls_cond(carry):
-            k, alpha, trial, cost, phi = carry
-            # NaN-safe: a NaN/Inf merit must fail the acceptance test and
-            # trigger backtracking (the reference raises + catches,
-            # linesearch-armijo.hpp:70-81 / filter.hpp:47-57).
-            ok = phi <= phi_ref + cfg.ls_armijo_c1 * alpha * dphi0
-            return jnp.logical_and(
-                jnp.logical_and(jnp.logical_not(ok), k < cfg.ls_max_steps),
-                alpha > cfg.ls_alpha_min,
+        if cfg.ls_strategy == "filter":
+            # merit/infeasibility dominance filter (reference
+            # core/filter.hpp:42-105): a pair is rejected if some filter
+            # element dominates it (with proximity margin beta).
+            def accepted(phi, prim):
+                dominated = jnp.logical_and(
+                    st.filter_vals[:, 0] + cfg.filter_beta * st.filter_vals[:, 1]
+                    <= phi,
+                    st.filter_vals[:, 1] + cfg.filter_beta * st.filter_vals[:, 1]
+                    <= prim,
+                )
+                bad = jnp.any(jnp.logical_and(dominated, st.filter_valid))
+                return jnp.logical_and(jnp.isfinite(phi), jnp.logical_not(bad))
+
+            def ls_cond(carry):
+                k, alpha, trial, cost, phi, prim = carry
+                return jnp.logical_and(
+                    jnp.logical_and(
+                        jnp.logical_not(accepted(phi, prim)),
+                        k < cfg.ls_max_steps,
+                    ),
+                    alpha > cfg.ls_alpha_min,
+                )
+
+            def ls_body(carry):
+                k, alpha, trial, cost, phi, prim = carry
+                alpha2 = jnp.maximum(
+                    alpha * cfg.ls_contraction, cfg.ls_alpha_min
+                )
+                trial2, cost2, phi2, prim2 = try_alpha(alpha2)
+                return (k + 1, alpha2, trial2, cost2, phi2, prim2)
+
+            k, alpha, trial, cost, phi, prim_t = lax.while_loop(
+                ls_cond,
+                ls_body,
+                (jnp.asarray(0, jnp.int32), jnp.asarray(1.0, dtype), trial1, cost1, phi1, prim1),
             )
+            # update filter: drop entries dominated by the new pair, insert it
+            dominated_by_new = jnp.logical_and(
+                phi <= st.filter_vals[:, 0], prim_t <= st.filter_vals[:, 1]
+            )
+            valid = jnp.logical_and(
+                st.filter_valid, jnp.logical_not(dominated_by_new)
+            )
+            slot = jnp.argmin(valid)  # first free slot (or 0 if full)
+            fvals = st.filter_vals.at[slot].set(jnp.stack([phi, prim_t]))
+            fvalid = valid.at[slot].set(True)
+            st = replace(st, filter_vals=fvals, filter_valid=fvalid)
+        else:
 
-        def ls_body(carry):
-            k, alpha, trial, cost, phi = carry
-            alpha2 = jnp.maximum(alpha * cfg.ls_contraction, cfg.ls_alpha_min)
-            trial2, cost2, phi2 = try_alpha(alpha2)
-            return (k + 1, alpha2, trial2, cost2, phi2)
+            def ls_cond(carry):
+                k, alpha, trial, cost, phi, prim = carry
+                # NaN-safe: a NaN/Inf merit must fail the acceptance test and
+                # trigger backtracking (the reference raises + catches,
+                # linesearch-armijo.hpp:70-81 / filter.hpp:47-57).
+                ok = phi <= phi_ref + cfg.ls_armijo_c1 * alpha * dphi0
+                return jnp.logical_and(
+                    jnp.logical_and(jnp.logical_not(ok), k < cfg.ls_max_steps),
+                    alpha > cfg.ls_alpha_min,
+                )
 
-        k, alpha, trial, cost, phi = lax.while_loop(
-            ls_cond, ls_body, (jnp.asarray(0, jnp.int32), jnp.asarray(1.0, dtype), trial1, cost1, phi1)
-        )
+            def ls_body(carry):
+                k, alpha, trial, cost, phi, prim = carry
+                alpha2 = jnp.maximum(alpha * cfg.ls_contraction, cfg.ls_alpha_min)
+                trial2, cost2, phi2, prim2 = try_alpha(alpha2)
+                return (k + 1, alpha2, trial2, cost2, phi2, prim2)
+
+            k, alpha, trial, cost, phi, _ = lax.while_loop(
+                ls_cond,
+                ls_body,
+                (jnp.asarray(0, jnp.int32), jnp.asarray(1.0, dtype), trial1, cost1, phi1, prim1),
+            )
 
         # reject a non-finite trial outright: keep the previous iterate and
         # treat as a linesearch failure (escalates regularization below).

@@ -88,3 +88,42 @@ def test_linear_ode_euler_matches_closed_form():
     got = integ.forward(space, x, u)
     want = x + h * (A @ x + B @ u)
     assert jnp.allclose(got, want, atol=1e-14)
+
+
+def test_implicit_midpoint_symplectic():
+    from aligator_tpu.modelling import IntegratorMidpoint
+
+    space = TangentBundle(VectorSpace(1))
+    integ = IntegratorMidpoint(ode=OscillatorODE(), timestep=jnp.asarray(0.05))
+    x0 = jnp.array([1.0, 0.0])
+    xf = rollout(integ, space, x0, jnp.zeros(1), 2000)
+    E0 = 0.5
+    Ef = 0.5 * (xf[0] ** 2 + xf[1] ** 2)
+    # implicit midpoint conserves quadratic invariants exactly
+    assert abs(float(Ef - E0)) < 1e-12
+    # the Newton solve drives the residual to machine precision
+    y = integ.forward(space, x0, jnp.zeros(1))
+    assert float(jnp.abs(integ.residual(space, x0, jnp.zeros(1), y)).max()) < 1e-12
+
+
+def test_proxddp_with_implicit_midpoint():
+    """End-to-end: ProxDDP (nonlinear rollout) over implicit-midpoint
+    dynamics."""
+    from aligator_tpu import core, solvers
+    from aligator_tpu.modelling import IntegratorMidpoint
+
+    space = VectorSpace(2)
+    A = jnp.array([[0.0, 1.0], [-1.0, -0.1]])
+    B = jnp.array([[0.0], [1.0]])
+    ode = LinearODE(A=A, B=B, c=jnp.zeros(2))
+    dyn = IntegratorMidpoint(ode=ode, timestep=jnp.asarray(0.1))
+    cost = core.QuadraticCost.create(0.1 * jnp.eye(2), 0.01 * jnp.eye(1))
+    term = core.QuadraticCost.create(10.0 * jnp.eye(2), jnp.zeros((1, 1)))
+    stage = core.make_stage(cost, dyn, space, 1)
+    problem = core.make_problem(jnp.array([1.0, 0.0]), stage, 20, term)
+    res = solvers.solve(
+        problem,
+        solvers.ProxDDPConfig(tol=1e-6, max_iters=40, rollout="nonlinear"),
+    )
+    assert bool(res.conv)
+    assert float(res.prim_infeas) < 1e-6

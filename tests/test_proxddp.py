@@ -136,3 +136,24 @@ def test_stage_varying_costs():
     problem = replace(problem, stages=stages)
     res = solvers.solve(problem, solvers.ProxDDPConfig(tol=1e-8, max_iters=20))
     assert bool(res.conv)
+
+
+@pytest.mark.parametrize("strategy", ["nonmonotone", "armijo", "filter"])
+def test_all_step_acceptance_strategies(strategy):
+    """Reference test_solver.py: box-constrained LQR with all 3 step
+    acceptance strategies."""
+    problem = make_lqr(nsteps=20, u_bound=0.1)
+    cfg = solvers.ProxDDPConfig(tol=1e-8, max_iters=150, ls_strategy=strategy)
+    res = solvers.solve(problem, cfg)
+    assert bool(res.conv)
+    assert float(jnp.max(jnp.abs(res.us))) <= 0.1 + 1e-6
+
+
+@pytest.mark.parametrize("mode", ["newton", "primal", "primal_dual"])
+def test_multiplier_update_modes(mode):
+    problem = make_lqr(nsteps=20, u_bound=0.1)
+    cfg = solvers.ProxDDPConfig(
+        tol=1e-8, max_iters=150, multiplier_update_mode=mode
+    )
+    res = solvers.solve(problem, cfg)
+    assert bool(res.conv)
