@@ -1,0 +1,152 @@
+"""Additional multibody residuals.
+
+Counterparts of the reference's remaining ``modelling/multibody`` zoo:
+frame collision distance (``frame-collision.hpp:18``), fly-high
+(``fly-high.hpp:12``), DCM position (``dcm-position.hpp:13``), whole-body
+centroidal momentum (``centroidal-momentum.hpp:18``) and its derivative
+(``centroidal-momentum-derivative.hpp:17``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..._pytree import pytree_dataclass, static_field
+from ...core.functions import StageFunction
+from . import model as rbd
+
+
+def _split_qv(model, x):
+    nq = model.nq
+    return x[..., :nq], x[..., nq:]
+
+
+@pytree_dataclass
+class FrameCollisionResidual(StageFunction):
+    """Signed distance between a frame point and a capsule/sphere obstacle:
+    r(x) = ‖p_frame − proj_segment(p_frame)‖² − (r_obs + margin)² ≤ 0 means
+    COLLIDING; use with NegativeOrthant on −r to keep clear (reference
+    ``frame-collision.hpp:18`` computes capsule distance via hpp-fcl).
+
+    Convention here: r(x) = (r_min)² − d² so r ≤ 0 ⇔ collision-free.
+    """
+
+    model: rbd.RobotModel
+    seg_a: jax.Array  # (3,) capsule segment endpoint A (world)
+    seg_b: jax.Array  # (3,) endpoint B
+    radius: jax.Array  # capsule radius + margin
+    frame_id: int = static_field(default=0)
+
+    def value(self, space, x, u):
+        q, _ = _split_qv(self.model, x)
+        _, p = rbd.frame_placement(self.model, q, self.frame_id)
+        ab = self.seg_b - self.seg_a
+        t = jnp.clip(
+            jnp.dot(p - self.seg_a, ab) / jnp.maximum(jnp.dot(ab, ab), 1e-12),
+            0.0,
+            1.0,
+        )
+        closest = self.seg_a + t * ab
+        d2 = jnp.sum((p - closest) ** 2)
+        return (self.radius**2 - d2)[None]
+
+
+@pytree_dataclass
+class FlyHighResidual(StageFunction):
+    """r(x) = v_xy(frame) · exp(−z/δ) — penalizes horizontal foot velocity
+    near the ground (reference ``fly-high.hpp:12``)."""
+
+    model: rbd.RobotModel
+    slope: jax.Array  # δ
+    frame_id: int = static_field(default=0)
+
+    def value(self, space, x, u):
+        q, v = _split_qv(self.model, x)
+        R, p = rbd.frame_placement(self.model, q, self.frame_id)
+        vel = rbd.frame_velocity(self.model, q, v, self.frame_id)
+        v_w = R @ vel[:3]
+        scale = jnp.exp(-p[2] / self.slope)
+        return v_w[:2] * scale
+
+
+@pytree_dataclass
+class DCMPositionResidual(StageFunction):
+    """Divergent component of motion: r(x) = c + ċ/ω − ref (reference
+    ``dcm-position.hpp:13``), ω = sqrt(g/h)."""
+
+    model: rbd.RobotModel
+    omega_inv: jax.Array  # 1/ω
+    ref: jax.Array  # (3,)
+
+    def value(self, space, x, u):
+        q, v = _split_qv(self.model, x)
+        com = rbd.center_of_mass(self.model, q)
+        cspace = self.model.configuration_space()
+
+        def com_of_dq(dq):
+            return rbd.center_of_mass(self.model, cspace.integrate(q, dq))
+
+        z = jnp.zeros((self.model.nv,), x.dtype)
+        vcom = jax.jvp(com_of_dq, (z,), (v,))[1]
+        return com + self.omega_inv * vcom - self.ref
+
+
+def centroidal_momentum(model: rbd.RobotModel, q, v):
+    """Whole-body centroidal momentum h = (linear, angular about the CoM),
+    world frame (role of Pinocchio's ``computeCentroidalMomentum``)."""
+    fk = rbd.forward_kinematics(model, q, v)
+    com = rbd.center_of_mass(model, q)
+    lin = jnp.zeros(3, q.dtype)
+    ang = jnp.zeros(3, q.dtype)
+    for i in range(model.njoints):
+        R, p = fk["R"][i], fk["p"][i]
+        vel = fk["vel"][i]  # body frame (linear, angular) at joint origin
+        w_w = R @ vel[3:]
+        v_w = R @ vel[:3]
+        c_local = model.com[i].astype(q.dtype)
+        c_w = p + R @ c_local
+        # com point velocity
+        v_com = v_w + jnp.cross(w_w, R @ c_local)
+        pi = model.mass[i] * v_com
+        I_w = R @ model.inertia[i].astype(q.dtype) @ R.T
+        Li = I_w @ w_w + jnp.cross(c_w - com, pi)
+        lin = lin + pi
+        ang = ang + Li
+    return jnp.concatenate([lin, ang])
+
+
+@pytree_dataclass
+class CentroidalMomentumResidual(StageFunction):
+    """r(x) = h(q, v) − h_ref (reference ``centroidal-momentum.hpp:18``)."""
+
+    model: rbd.RobotModel
+    h_ref: jax.Array  # (6,)
+
+    def value(self, space, x, u):
+        q, v = _split_qv(self.model, x)
+        return centroidal_momentum(self.model, q, v) - self.h_ref
+
+
+@pytree_dataclass
+class CentroidalMomentumDerivativeResidual(StageFunction):
+    """r(x, u) = ḣ(q, v, a(x, u)) − ḣ_ref with a from free forward dynamics
+    (reference ``centroidal-momentum-derivative.hpp:17``)."""
+
+    model: rbd.RobotModel
+    actuation: jax.Array
+    h_ref: jax.Array  # (6,)
+
+    def value(self, space, x, u):
+        q, v = _split_qv(self.model, x)
+        tau = self.actuation @ u
+        a = rbd.aba(self.model, q, v, tau)
+        cspace = self.model.configuration_space()
+
+        def h_of(dq, vv):
+            return centroidal_momentum(self.model, cspace.integrate(q, dq), vv)
+
+        z = jnp.zeros((self.model.nv,), x.dtype)
+        # ḣ = ∂h/∂q·v + ∂h/∂v·a
+        _, dh = jax.jvp(h_of, (z, v), (v, a))
+        return dh - self.h_ref

@@ -41,6 +41,7 @@ from ..core import problem as problem_mod
 from ..core.manifolds import VectorSpace
 from ..core.problem import ProblemData, TrajOptProblem
 from ..gar import lqr_problem as lqr_mod
+from ..gar import parallel as gar_parallel
 from ..gar import riccati
 
 # ---------------------------------------------------------------------------
@@ -93,6 +94,11 @@ class ProxDDPConfig:
     # rollout type: 'linear' (TPU-friendly, parallel-solver compatible) or
     # 'nonlinear' (reference default)
     rollout: str = "linear"
+    # LQ subproblem solver (reference LQSolverChoice): 'serial' or
+    # 'parallel' (parallel-in-time leg condensation; requires linear rollout
+    # and (N+1) %% parallel_legs == 0)
+    linear_solver: str = "serial"
+    parallel_legs: int = 2
     force_initial_condition: bool = True
     # record per-iteration convergence traces (HistoryCallback equivalent,
     # reference core/history-callback.hpp:14)
@@ -631,8 +637,20 @@ def solve(
 
         mudyn = cfg.dyn_al_scale * st.mu
         lq = _assemble_lq(problem, cfg, data, m, Lxs, Lus, st.preg, st.mu)
-        factors = riccati.backward(lq, mudyn, st.mu, assume_explicit)
-        dxs, dus_p, dvs_p, dlams = riccati.forward(factors)
+        if cfg.linear_solver == "parallel":
+            # parallel-in-time leg condensation (reference requires LINEAR
+            # rollout with the parallel solver, solver-proxddp.hxx:169-181)
+            if cfg.rollout != "linear":
+                raise ValueError(
+                    "parallel linear solver requires rollout='linear'"
+                )
+            dxs, dus_p, dvs_p, dlams = gar_parallel.solve(
+                lq, mudyn, st.mu, cfg.parallel_legs, assume_explicit
+            )
+            factors = riccati.backward(lq, mudyn, st.mu, assume_explicit)                 if False else None
+        else:
+            factors = riccati.backward(lq, mudyn, st.mu, assume_explicit)
+            dxs, dus_p, dvs_p, dlams = riccati.forward(factors)
         dus = dus_p[:N]
         dvs = dvs_p[:N, :nc]
         dvs_t = dvs_p[N, :nct]
@@ -761,8 +779,8 @@ def solve(
             lams=tlams,
             cost=jnp.where(trial_ok, cost, st.cost),
             merit=jnp.where(trial_ok, phi, st.merit),
-            K=factors.K,
-            kff=factors.kff,
+            K=factors.K if factors is not None else st.K,
+            kff=factors.kff if factors is not None else st.kff,
         )
 
         # regularization schedule (solver-proxddp.hpp:349-366): on linesearch

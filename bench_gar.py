@@ -19,7 +19,7 @@ from aligator_tpu import gar  # noqa: E402
 from aligator_tpu.gar import parallel  # noqa: E402
 
 
-def timeit(fn, *args, reps=3):
+def timeit(fn, *args, reps=10):
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()

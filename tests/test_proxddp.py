@@ -157,3 +157,17 @@ def test_multiplier_update_modes(mode):
     )
     res = solvers.solve(problem, cfg)
     assert bool(res.conv)
+
+
+def test_parallel_linear_solver_matches_serial():
+    """ProxDDP with the parallel-in-time LQ solver (reference
+    LQSolverChoice::PARALLEL) produces the same iterates as serial."""
+    problem = make_lqr(nsteps=19, u_bound=0.2)  # T = 20, legs = 4
+    cfg_s = solvers.ProxDDPConfig(tol=1e-8, max_iters=100)
+    cfg_p = solvers.ProxDDPConfig(
+        tol=1e-8, max_iters=100, linear_solver="parallel", parallel_legs=4
+    )
+    r1 = solvers.solve(problem, cfg_s)
+    r2 = solvers.solve(problem, cfg_p)
+    assert bool(r1.conv) and bool(r2.conv)
+    assert float(jnp.max(jnp.abs(r1.us - r2.us))) < 1e-9
