@@ -41,6 +41,7 @@ def solve(
     mueq,
     legs: int,
     assume_explicit: bool = False,
+    time_sharding=None,
 ):
     """Solve the proximal LQ problem with L parallel legs.
 
@@ -76,6 +77,11 @@ def solve(
     )
 
     legs_kn = _split_legs(kn, legs)
+    if time_sharding is not None:
+        # shard the leg axis over devices: each device runs its legs'
+        # backward/forward sweeps; only the tiny condensed system is global
+        # (the reference's OpenMP legs → ICI-sharded legs).
+        legs_kn = jax.lax.with_sharding_constraint(legs_kn, time_sharding)
 
     # 3. per-leg backward sweeps, batched over the leg axis.
     carries, stages = jax.vmap(
@@ -144,6 +150,8 @@ def solve(
         )
         return serial_forward(facs, theta=theta, x0=x0, lam0=lam0)
 
+    if time_sharding is not None:
+        stages = jax.lax.with_sharding_constraint(stages, time_sharding)
     xs_l, us_l, vs_l, lams_l = jax.vmap(leg_forward)(
         stages, x_heads, lam_heads, thetas
     )

@@ -63,7 +63,7 @@ def standing_q(model, height=0.62, bend=0.35):
 
 
 def create_biped_walk_problem(
-    n_ds=6, n_ss=8, step_fwd=0.08, timestep=0.03, dtype=jnp.float64
+    n_ds=6, n_ss=6, step_fwd=0.05, timestep=0.02, dtype=jnp.float64
 ):
     model = make_biped()
     space = model.phase_space()
@@ -99,8 +99,8 @@ def create_biped_walk_problem(
 
     w_x = jnp.diag(
         jnp.concatenate(
-            [jnp.full(3, 10.0), jnp.full(3, 1.0), jnp.full(nu, 0.05),
-             jnp.full(nv, 0.01)]
+            [jnp.full(3, 50.0), jnp.full(3, 50.0), jnp.full(nu, 1.0),
+             jnp.full(nv, 0.5)]
         )
     ).astype(dtype)
     rcost = core.CostStack.create(
@@ -138,7 +138,8 @@ if __name__ == "__main__":
 
     problem, model, sched = create_biped_walk_problem()
     cfg = solvers.ProxDDPConfig(
-        tol=1e-3, mu_init=1e-2, max_iters=50, rollout="nonlinear"
+        tol=1e-3, mu_init=1e-2, max_iters=60, rollout="nonlinear",
+        ls_strategy="armijo",
     )
     res = solvers.solve(problem, cfg)
     print("conv:", bool(res.conv), "iters:", int(res.num_iters))

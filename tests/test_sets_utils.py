@@ -1,0 +1,123 @@
+"""Constraint-set projection properties (reference ``tests/constraints.cpp``)
+and utils coverage (rollout, logger, plotting smoke)."""
+
+import io
+import sys
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aligator_tpu import core, utils
+from aligator_tpu.core.sets import (
+    BoxConstraint,
+    ConstraintSetProduct,
+    EqualityConstraint,
+    L1Penalty,
+    NegativeOrthant,
+)
+
+
+@pytest.mark.parametrize(
+    "setcls",
+    [
+        EqualityConstraint(),
+        NegativeOrthant(),
+        BoxConstraint(lower=-jnp.ones(5), upper=jnp.ones(5)),
+        L1Penalty(scale=1.0, mu=0.1),
+    ],
+    ids=lambda s: type(s).__name__,
+)
+def test_projection_decomposition(setcls):
+    """z = projection(z) + normal_cone_projection(z) for all sets."""
+    z = jnp.array([-2.0, -0.5, 0.0, 0.5, 2.0])
+    p = setcls.projection(z)
+    n = setcls.normal_cone_projection(z)
+    assert jnp.allclose(p + n, z, atol=1e-12)
+    # projections are idempotent; the L1 prox is a proximal operator, not a
+    # projection, so idempotence doesn't apply to it
+    if not isinstance(setcls, L1Penalty):
+        assert jnp.allclose(setcls.projection(p), p, atol=1e-12)
+
+
+def test_negative_orthant_semantics():
+    s = NegativeOrthant()
+    z = jnp.array([-1.0, 0.5])
+    assert jnp.allclose(s.projection(z), jnp.array([-1.0, 0.0]))
+    assert jnp.allclose(s.normal_cone_projection(z), jnp.array([0.0, 0.5]))
+    assert jnp.array_equal(s.active_mask(z), jnp.array([False, True]))
+
+
+def test_box_active_set():
+    s = BoxConstraint(lower=-jnp.ones(3), upper=jnp.ones(3))
+    z = jnp.array([-2.0, 0.0, 3.0])
+    assert jnp.array_equal(s.active_mask(z), jnp.array([True, False, True]))
+
+
+def test_product_set_slicing():
+    s = ConstraintSetProduct(
+        sets=(EqualityConstraint(), NegativeOrthant()), dims=(2, 2)
+    )
+    z = jnp.array([1.0, -1.0, 1.0, -1.0])
+    p = s.projection(z)
+    assert jnp.allclose(p, jnp.array([0.0, 0.0, 0.0, -1.0]))
+    m = s.active_mask(z)
+    assert jnp.array_equal(m, jnp.array([True, True, True, False]))
+
+
+def test_rollout_open_loop():
+    space = core.VectorSpace(2)
+    dyn = core.LinearDiscreteDynamics(
+        A=jnp.eye(2) * 0.5, B=jnp.eye(2), c=jnp.zeros(2)
+    )
+    us = jnp.zeros((5, 2))
+    xs = utils.rollout(dyn, space, jnp.array([4.0, 8.0]), us)
+    assert xs.shape == (6, 2)
+    assert jnp.allclose(xs[-1], jnp.array([4.0, 8.0]) * 0.5**5)
+
+
+def test_closed_loop_rollout_stabilizes():
+    space = core.VectorSpace(2)
+    A = jnp.array([[1.0, 0.1], [0.0, 1.0]])
+    B = jnp.array([[0.0], [0.1]])
+    dyn = core.LinearDiscreteDynamics(A=A, B=B, c=jnp.zeros(2))
+    K = -jnp.array([[5.0, 6.0]])  # stabilizing feedback
+    N = 60
+    xs_ref = jnp.zeros((N + 1, 2))
+    us_ref = jnp.zeros((N, 1))
+    Ks = jnp.broadcast_to(K, (N, 1, 2))
+    xs, us = utils.closed_loop_rollout(
+        dyn, space, jnp.array([1.0, 0.0]), us_ref, xs_ref, Ks
+    )
+    assert float(jnp.linalg.norm(xs[-1])) < 1e-2
+
+
+def test_logger_and_history_printing(capsys):
+    from tests.test_proxddp import make_lqr
+    from aligator_tpu import solvers
+
+    problem = make_lqr(nsteps=10, u_bound=0.2)
+    res = solvers.solve(
+        problem,
+        solvers.ProxDDPConfig(tol=1e-6, max_iters=40, record_history=True),
+    )
+    utils.print_history(res.history, res.num_iters)
+    out = capsys.readouterr().out
+    assert "prim_err" in out
+    assert len(out.splitlines()) >= 2
+
+
+def test_plotting_smoke(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import numpy as np
+
+    from aligator_tpu.utils import plotting
+
+    h = np.abs(np.random.randn(10, 7))
+    ax = plotting.plot_convergence(h)
+    assert ax is not None
+    times = np.linspace(0, 1, 11)
+    us = np.random.randn(10, 2)
+    plotting.plot_controls_traj(times, us)
