@@ -30,7 +30,7 @@ BASELINE_SOLVES_PER_SEC_PER_CHIP = 10_000 / 64.0
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     nsteps = 50
     dtype = jnp.float32
 
