@@ -1,0 +1,89 @@
+"""Scaling-efficiency harness: batched SE(2)-car solves over an N-device mesh.
+
+On real multi-chip hardware this measures the BASELINE.md scaling-efficiency
+metric (1 chip → N chips). With one chip (or on CPU), pass --virtual to fake
+N host devices and validate the sharded execution path; virtual-device
+timings measure correctness of the harness, not hardware scaling.
+
+Prints one JSON line per device count.
+"""
+
+import json
+import sys
+import time
+
+if "--virtual" in sys.argv:
+    import os
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, ".")
+
+from aligator_tpu import solvers  # noqa: E402
+from aligator_tpu._pytree import replace  # noqa: E402
+from aligator_tpu.parallel import batched_solve, make_mesh  # noqa: E402
+from examples.se2_car import create_se2_problem  # noqa: E402
+
+
+def main():
+    per_device = 512
+    problem = create_se2_problem(nsteps=50, dtype=jnp.float32)
+    cfg = solvers.ProxDDPConfig(
+        tol=1e-3, mu_init=1e-3, max_iters=4, max_al_iters=4,
+        rollout="linear", ls_max_steps=6,
+    )
+
+    def solve_one(x0):
+        return solvers.solve(replace(problem, x0=x0), cfg).us
+
+    n_avail = len(jax.devices())
+    counts = sorted({1, 2, n_avail} & set(range(1, n_avail + 1)))
+    base_rate = None
+    for nd in counts:
+        mesh = make_mesh(jax.devices()[:nd])
+        B = per_device * nd
+        key = jax.random.PRNGKey(0)
+        x0s = jnp.stack(
+            [
+                0.7 + 0.2 * jax.random.normal(key, (B,), jnp.float32),
+                -0.1 + jnp.zeros((B,), jnp.float32),
+                jnp.full((B,), jnp.cos(0.15355), jnp.float32),
+                jnp.full((B,), jnp.sin(0.15355), jnp.float32),
+            ],
+            axis=-1,
+        )
+        out = batched_solve(solve_one, x0s, mesh=mesh)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = batched_solve(solve_one, x0s, mesh=mesh)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / 3
+        rate = B / dt
+        if base_rate is None:
+            base_rate = rate
+        print(
+            json.dumps(
+                {
+                    "metric": f"se2car_scaling_{nd}dev",
+                    "value": round(rate, 1),
+                    "unit": "solves/s",
+                    "devices": nd,
+                    "efficiency": round(rate / (base_rate * nd), 3),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
