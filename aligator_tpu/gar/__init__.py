@@ -7,6 +7,7 @@ condensation, and dense-KKT oracles for testing.
 """
 
 from .lqr_problem import (
+    kkt_residual_vectors,
     LQRKnots,
     LQRProblem,
     add_parameterization,
@@ -16,7 +17,7 @@ from .lqr_problem import (
     random_problem,
     split_solution,
 )
-from .riccati import RiccatiFactors, backward, forward, solve
+from .riccati import RiccatiFactors, backward, forward, solve, solve_refined
 
 __all__ = [
     "LQRKnots",
@@ -31,4 +32,6 @@ __all__ = [
     "backward",
     "forward",
     "solve",
+    "solve_refined",
+    "kkt_residual_vectors",
 ]

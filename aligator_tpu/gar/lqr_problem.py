@@ -372,3 +372,49 @@ def kkt_error(
 
     dual_err = jnp.maximum(jnp.max(jnp.abs(gx)), jnp.max(jnp.abs(gu)))
     return dyn_err, cstr_err, dual_err
+
+
+def kkt_residual_vectors(
+    problem: LQRProblem, xs, us, vs, lams, mudyn, mueq
+):
+    """Full KKT residual VECTORS (not norms) of a candidate solution:
+    returns (g0_res (nc0,), gx (T,nx), gu (T,nu), cstr (T,nc), dyn (N,nx)).
+
+    Used by iterative refinement (:func:`solve_refined`) — the reference's
+    refinement loops (``cholmod-solver``, ``parallel-solver.hxx:156-175``)
+    play the same role.
+    """
+    kn = problem.knots
+    N = problem.horizon
+
+    g0_res = problem.g0 + problem.G0 @ xs[0] - mudyn * lams[0]
+    dyn = (
+        jnp.einsum("tij,tj->ti", kn.A[:N], xs[:N])
+        + jnp.einsum("tij,tj->ti", kn.B[:N], us[:N])
+        + kn.f[:N]
+        + jnp.einsum("tij,tj->ti", kn.E[:N], xs[1:])
+        - mudyn * lams[1:]
+    )
+    cstr = (
+        jnp.einsum("tij,tj->ti", kn.C, xs)
+        + jnp.einsum("tij,tj->ti", kn.D, us)
+        + kn.d
+        - mueq * vs
+    )
+    gx = (
+        kn.q
+        + jnp.einsum("tij,tj->ti", kn.Q, xs)
+        + jnp.einsum("tij,tj->ti", kn.S, us)
+        + jnp.einsum("tji,tj->ti", kn.C, vs)
+    )
+    gu = (
+        kn.r
+        + jnp.einsum("tji,tj->ti", kn.S, xs)
+        + jnp.einsum("tij,tj->ti", kn.R, us)
+        + jnp.einsum("tji,tj->ti", kn.D, vs)
+    )
+    gx = gx.at[0].add(problem.G0.T @ lams[0])
+    gx = gx.at[1:].add(jnp.einsum("tji,tj->ti", kn.E[:N], lams[1:]))
+    gx = gx.at[:N].add(jnp.einsum("tji,tj->ti", kn.A[:N], lams[1:]))
+    gu = gu.at[:N].add(jnp.einsum("tji,tj->ti", kn.B[:N], lams[1:]))
+    return g0_res, gx, gu, cstr, dyn

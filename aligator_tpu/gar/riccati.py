@@ -419,3 +419,42 @@ def solve(problem: LQRProblem, mudyn, mueq, assume_explicit: bool = False,
     """Backward + forward in one call. Returns (xs, us, vs, lams)."""
     factors = backward(problem, mudyn, mueq, assume_explicit)
     return forward(factors, theta=theta)
+
+
+def solve_refined(
+    problem: LQRProblem,
+    mudyn,
+    mueq,
+    assume_explicit: bool = False,
+    refine_steps: int = 1,
+):
+    """Solve + iterative refinement: re-solve on the KKT residual and
+    correct (z ← z − δ with M δ = residual). Each step costs one extra
+    backward/forward sweep and squares the effective precision — the fp32
+    answer reaches fp32-roundoff-of-the-true-solution instead of
+    recursion-accumulated error (the reference's refinement loops play this
+    role, e.g. ``parallel-solver.hxx:156-175``)."""
+    from .._pytree import replace as _replace
+    from .lqr_problem import kkt_residual_vectors
+
+    xs, us, vs, lams = solve(problem, mudyn, mueq, assume_explicit)
+    N = problem.horizon
+    for _ in range(refine_steps):
+        g0r, gx, gu, cstr, dyn = kkt_residual_vectors(
+            problem, xs, us, vs, lams, mudyn, mueq
+        )
+        kn_r = _replace(
+            problem.knots,
+            q=gx,
+            r=gu,
+            d=cstr,
+            f=jnp.concatenate([dyn, jnp.zeros_like(dyn[:1])], axis=0),
+        )
+        prob_r = _replace(problem, knots=kn_r, g0=g0r)
+        # solve() returns δ with M δ = −residual, so the correction is z += δ
+        dxs, dus, dvs, dlams = solve(prob_r, mudyn, mueq, assume_explicit)
+        xs = xs + dxs
+        us = us + dus
+        vs = vs + dvs
+        lams = lams + dlams
+    return xs, us, vs, lams

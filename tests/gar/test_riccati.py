@@ -162,3 +162,19 @@ def test_float32_accuracy():
     xs64, us64, _, _ = gar.dense_solve(prob64, 1e-2, 1e-2)
     xs32, us32, vs32, lams32 = gar.solve(prob32, 1e-2, 1e-2, assume_explicit=True)
     assert float(jnp.max(jnp.abs(us32 - us64.astype(jnp.float32)))) < 1e-3
+
+
+def test_iterative_refinement_fp32():
+    """solve_refined drives the fp32 KKT error down by orders of magnitude
+    (the reference's iterative-refinement role, parallel-solver.hxx:156)."""
+    prob = gar.random_problem(
+        jax.random.PRNGKey(0), 30, 6, 3, 2, dtype=jnp.float32
+    )
+    base = gar.solve(prob, 1e-3, 1e-3, assume_explicit=True)
+    ref = gar.solve_refined(
+        prob, 1e-3, 1e-3, assume_explicit=True, refine_steps=2
+    )
+    e0 = max(float(v) for v in gar.kkt_error(prob, *base, 1e-3, 1e-3))
+    e2 = max(float(v) for v in gar.kkt_error(prob, *ref, 1e-3, 1e-3))
+    assert e2 < e0 / 20.0
+    assert e2 < 1e-4
