@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .._pytree import pytree_dataclass
-from .manifolds import Manifold, VectorSpace
+from .manifolds import Manifold
 
 
 class ExplicitDynamics:

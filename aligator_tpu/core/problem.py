@@ -32,7 +32,7 @@ from .._pytree import pytree_dataclass, static_field
 from .costs import Cost
 from .dynamics import ExplicitDynamics
 from .manifolds import Manifold
-from .sets import ConstraintSet, ConstraintSetProduct
+from .sets import ConstraintSetProduct
 
 
 @pytree_dataclass

@@ -157,8 +157,6 @@ def _kernel(nx, nu, nc, T, mudyn, mueq, in_ref, g_ref, out_ref, P_ref, p_ref,
         base = offs[name]
         return [in_ref[0, t, base + i, :] for i in range(m)]
 
-    zero = jnp.zeros((LANES,), in_ref.dtype)
-
     # number of gain features per stage: kff nu | K nu*nx | zff nc | Z nc*nx |
     # lff nx | L nx*nx | yff nx | Afb nx*nx
     GK = dict(kff=nu, K=nu * nx, zff=nc, Z=nc * nx, lff=nx, L=nx * nx,

@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from ..._pytree import pytree_dataclass, static_field
-from ...core.manifolds import TangentBundle
 from ..dynamics.ode import ODE
 from . import model as rbd
 

@@ -33,14 +33,7 @@ import jax.numpy as jnp
 
 from ..._pytree import pytree_dataclass, static_field
 from ...core.manifolds import Manifold, TangentBundle, VectorSpace
-from ..spaces.se3 import (
-    SE3,
-    exp3_quat,
-    quat_conj,
-    quat_mul,
-    quat_rotate,
-    quat_to_matrix,
-)
+from ..spaces.se3 import SE3, exp3_quat, quat_to_matrix
 
 REVOLUTE = "revolute"
 PRISMATIC = "prismatic"
@@ -132,11 +125,7 @@ def make_model(joints, frames=(), gravity=(0.0, 0.0, -9.81)):
     ``frames``: list of dicts: name, parent (joint idx), placement_p,
       placement_q [optional].
     """
-    nj = len(joints)
     ident_q = jnp.array([0.0, 0.0, 0.0, 1.0])
-
-    def getq(d, key):
-        return jnp.asarray(d.get(key, ident_q), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
 
     jp = jnp.stack([jnp.asarray(j.get("placement_p", jnp.zeros(3)), float) for j in joints])
     jq = jnp.stack([jnp.asarray(j.get("placement_q", ident_q), float) for j in joints])

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..._pytree import pytree_dataclass, static_field
 from ...core.functions import StageFunction
-from ..spaces.se3 import quat_to_matrix, se3_log
+from ..spaces.se3 import se3_log
 from . import model as rbd
 
 

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .._pytree import pytree_dataclass, replace, static_field
+from .._pytree import pytree_dataclass, replace
 from ..core import problem as problem_mod
 from ..core.manifolds import VectorSpace
 from ..core.problem import ProblemData, TrajOptProblem
