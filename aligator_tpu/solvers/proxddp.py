@@ -759,9 +759,12 @@ def solve(
                 (jnp.asarray(0, jnp.int32), jnp.asarray(1.0, dtype), trial1, cost1, phi1, prim1),
             )
 
+        # early-stop: with a null directional derivative the step is noise
+        # (reference solver-proxddp.hxx:676) — keep the current iterate.
+        tiny_dir = jnp.abs(dphi0) <= cfg.dphi_thresh
         # reject a non-finite trial outright: keep the previous iterate and
         # treat as a linesearch failure (escalates regularization below).
-        trial_ok = jnp.isfinite(phi)
+        trial_ok = jnp.logical_and(jnp.isfinite(phi), jnp.logical_not(tiny_dir))
         txs, tus, tvs, tvt, tlams = trial
         prev = (st.xs, st.us, st.vs, st.vs_term, st.lams)
         txs, tus, tvs, tvt, tlams = jax.tree.map(
@@ -784,8 +787,11 @@ def solve(
         )
 
         # regularization schedule (solver-proxddp.hpp:349-366): on linesearch
-        # failure escalate; on success record the good value.
-        ls_failed = alpha <= cfg.ls_alpha_min
+        # failure escalate; on success record the good value. A tiny-direction
+        # early stop is not a failure.
+        ls_failed = jnp.logical_and(
+            alpha <= cfg.ls_alpha_min, jnp.logical_not(tiny_dir)
+        )
         preg_inc = jnp.where(
             st.preg_last == 0.0,
             st.preg * cfg.reg_inc_first_k,

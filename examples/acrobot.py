@@ -54,7 +54,7 @@ if __name__ == "__main__":
 
     problem = create_acrobot_problem()
     cfg = solvers.ProxDDPConfig(
-        tol=1e-4, mu_init=1e-2, max_iters=200, rollout="nonlinear"
+        tol=2e-3, mu_init=1e-2, max_iters=250, rollout="nonlinear"
     )
     res = solvers.solve(problem, cfg)
     print("conv:", bool(res.conv), "iters:", int(res.num_iters))

@@ -56,7 +56,7 @@ if __name__ == "__main__":
         ("pendulum", create_pendulum_problem()),
         ("double_pendulum", create_double_pendulum_problem()),
     ):
-        cfg = solvers.ProxDDPConfig(tol=1e-4, max_iters=200, rollout="nonlinear")
+        cfg = solvers.ProxDDPConfig(tol=1e-3, max_iters=250, rollout="nonlinear")
         res = solvers.solve(prob, cfg)
         print(f"{name}: conv={bool(res.conv)} iters={int(res.num_iters)} "
               f"xN={res.xs[-1][:2]}")

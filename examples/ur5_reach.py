@@ -16,7 +16,12 @@ from aligator_tpu.modelling.multibody.residuals import FrameTranslationResidual
 from aligator_tpu.modelling.multibody.robots import make_ur5
 
 
-def create_ur5_problem(nsteps=40, timestep=0.05, tau_bound=80.0, dtype=jnp.float64):
+def create_ur5_problem(
+    nsteps=40, timestep=0.05, tau_bound=80.0, dtype=jnp.float64,
+    table_height=None,
+):
+    """``table_height``: optional halfspace constraint p_z(ee) >= h at every
+    stage (the reference's ur5 table-halfspace variant)."""
     model = make_ur5()
     nv = model.nv
     space = model.phase_space()
@@ -49,7 +54,7 @@ def create_ur5_problem(nsteps=40, timestep=0.05, tau_bound=80.0, dtype=jnp.float
         residual=frame_res, weights=100.0 * jnp.eye(3, dtype=dtype)
     )
 
-    constraints = (
+    constraints = [
         (
             core.ControlErrorResidual(target=jnp.zeros((nu,), dtype)),
             core.BoxConstraint(
@@ -57,9 +62,19 @@ def create_ur5_problem(nsteps=40, timestep=0.05, tau_bound=80.0, dtype=jnp.float
                 upper=tau_bound * jnp.ones((nu,), dtype),
             ),
         ),
-    )
+    ]
+    if table_height is not None:
+        from aligator_tpu.core.functions import LinearFunctionComposition
 
-    stage = core.make_stage(rcost, dyn, space, nu, constraints)
+        # h - p_z(ee) = -r_z + (h - p_target_z) <= 0  (stay above the table)
+        above_table = LinearFunctionComposition(
+            func=frame_res,
+            A=jnp.array([[0.0, 0.0, -1.0]], dtype),
+            b=jnp.array([table_height - p_target[2]], dtype),
+        )
+        constraints.append((above_table, core.NegativeOrthant()))
+
+    stage = core.make_stage(rcost, dyn, space, nu, tuple(constraints))
     x0 = space.neutral()
     return core.make_problem(x0, stage, nsteps, term_cost), model, p_target
 
