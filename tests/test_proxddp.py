@@ -171,3 +171,19 @@ def test_parallel_linear_solver_matches_serial():
     r2 = solvers.solve(problem, cfg_p)
     assert bool(r1.conv) and bool(r2.conv)
     assert float(jnp.max(jnp.abs(r1.us - r2.us))) < 1e-9
+
+
+def test_bench_protocol_se2_car_fp32():
+    """Regression guard for the headline benchmark workload: the SE(2)-car
+    problem (bench/se2-car.cpp protocol) must converge quickly in fp32."""
+    from examples.se2_car import create_se2_problem
+
+    problem = create_se2_problem(nsteps=50, dtype=jnp.float32)
+    cfg = solvers.ProxDDPConfig(
+        tol=1e-3, mu_init=1e-3, max_iters=10, max_al_iters=10,
+        rollout="linear", ls_max_steps=6,
+    )
+    res = solvers.solve(problem, cfg)
+    assert bool(res.conv)
+    assert int(res.num_iters) <= 8
+    assert bool(jnp.isfinite(res.us).all())
