@@ -124,10 +124,17 @@ class QuadraticCost(Cost):
 @pytree_dataclass
 class QuadraticResidualCost(Cost):
     """ℓ = ½ ‖r(x,u)‖²_W with Gauss-Newton derivatives (reference
-    ``modelling/costs/quad-residual-cost.hpp:18``)."""
+    ``modelling/costs/quad-residual-cost.hpp:18``).
+
+    With ``gauss_newton=False`` the Hessian includes the residual-curvature
+    term Σ_k (W r)_k ∇²r_k (reference
+    ``quad-residual-cost.hxx:55-63`` + ``computeVectorHessianProducts``) —
+    in JAX this is simply the exact autodiff Hessian of the value.
+    """
 
     residual: StageFunction
     weights: jax.Array  # (nr, nr)
+    gauss_newton: bool = static_field(default=True)
 
     def value(self, space, x, u):
         r = self.residual.value(space, x, u)
@@ -140,6 +147,9 @@ class QuadraticResidualCost(Cost):
         return Jx.T @ Wr, Ju.T @ Wr
 
     def hessians(self, space, x, u):
+        if not self.gauss_newton:
+            # exact: autodiff Hessian of the value (= GN + residual VHP)
+            return Cost.hessians(self, space, x, u)
         # Gauss-Newton: drop the residual-curvature term.
         Jx, Ju = self.residual.jacobians(space, x, u)
         WJx = self.weights @ Jx

@@ -231,6 +231,13 @@ class ProblemData:
     cstr_Ju: Optional[jax.Array] = None  # (N, nc, nu)
     term_cstr_Jx: Optional[jax.Array] = None  # (nc_term, ndx)
     init_Jx: Optional[jax.Array] = None  # (ndx, ndx)
+    # --- exact-Hessian mode: costate-contracted dynamics vector-Hessian
+    # products λ_{t+1}ᵀ ∇²(dyn residual) (reference HessianApprox::EXACT,
+    # core/enums.hpp:14; added to the LQ knot in solver-proxddp.hxx:839-843;
+    # per-function VHP interface at core/function-abstract.hpp:73) ---
+    Hxx: Optional[jax.Array] = None  # (N, ndx, ndx)
+    Hxu: Optional[jax.Array] = None  # (N, ndx, nu)
+    Huu: Optional[jax.Array] = None  # (N, nu, nu)
 
 
 def evaluate(problem: TrajOptProblem, xs, us) -> ProblemData:
@@ -265,8 +272,42 @@ def evaluate(problem: TrajOptProblem, xs, us) -> ProblemData:
     )
 
 
-def compute_derivatives(problem: TrajOptProblem, xs, us) -> ProblemData:
+def dynamics_vhp(problem: TrajOptProblem, xs, us, lams_next):
+    """Costate-contracted second-order terms of the dynamics residuals.
+
+    Returns ``(Hxx, Hxu, Huu)``, the (tangent-space) Hessian blocks of
+    ``λ_{t+1}ᵀ r_t(x, u, x_{t+1})`` wrt (x, u) per stage — the reference's
+    ``DynamicsModel::computeVectorHessianProducts`` (``core/dynamics.hpp:66``)
+    consumed by ``HessianApprox::EXACT`` (``solver-proxddp.hxx:839-843``).
+    Exact autodiff replaces the reference's hand-written VHPs.
+    """
+    space = problem.space
+    N = problem.nsteps
+    ndx = space.ndx
+
+    def stage_vhp(stage: StageModel, x, u, y, lam):
+        nu_ = u.shape[-1]
+
+        def g(z):
+            dx, du = z[:ndx], z[ndx:]
+            r = stage.dynamics.residual(
+                space, space.integrate(x, dx), u + du, y
+            )
+            return lam @ r
+
+        H = jax.hessian(g)(jnp.zeros((ndx + nu_,), jnp.result_type(x)))
+        return H[:ndx, :ndx], H[:ndx, ndx:], H[ndx:, ndx:]
+
+    return jax.vmap(stage_vhp)(problem.stages, xs[:N], us, xs[1:], lams_next)
+
+
+def compute_derivatives(
+    problem: TrajOptProblem, xs, us, lams: Optional[jax.Array] = None
+) -> ProblemData:
     """Evaluate + first/second-order derivatives (Gauss-Newton Hessians).
+
+    With ``lams`` (the (N+1, ndx) costate estimates), also fills the
+    dynamics vector-Hessian products for exact-Hessian mode.
 
     vmap over stages (reference: ``traj-opt-problem.hxx:105`` OpenMP loop)."""
     space = problem.space
@@ -300,6 +341,10 @@ def compute_derivatives(problem: TrajOptProblem, xs, us) -> ProblemData:
     Lx = jnp.concatenate([Lx_s, tLx[None]], axis=0)
     Lxx = jnp.concatenate([Lxx_s, tLxx[None]], axis=0)
 
+    Hxx = Hxu = Huu = None
+    if lams is not None:
+        Hxx, Hxu, Huu = dynamics_vhp(problem, xs, us, lams[1:])
+
     return ProblemData(
         cost=jnp.sum(costs) + tc,
         stage_costs=costs,
@@ -320,4 +365,7 @@ def compute_derivatives(problem: TrajOptProblem, xs, us) -> ProblemData:
         cstr_Ju=cJu,
         term_cstr_Jx=tJx,
         init_Jx=init_Jx,
+        Hxx=Hxx,
+        Hxu=Hxu,
+        Huu=Huu,
     )

@@ -4,7 +4,7 @@ Counterpart of the reference's block-tridiagonal routines
 (``include/aligator/gar/block-tridiagonal.hpp:52-242``). The condensed
 interface system of the parallel-in-time Riccati solver is symmetric
 block-tridiagonal with uniform block size; here it is factorized by a
-downward block-elimination (UDUᵀ-like) expressed as two `lax.scan`s.
+downward block-elimination (UDUᵀ-like) expressed as `lax.scan`s.
 
 Blocks are stacked arrays: diag (K, n, n), lower (K-1, n, n) (sub-diagonal),
 rhs (K, n). The matrix is [[D0, L0ᵀ, ...], [L0, D1, L1ᵀ, ...], ...].
@@ -13,6 +13,14 @@ The diagonal blocks of the condensed system are indefinite (saddle point), so
 plain LU solves (``jnp.linalg.solve``) are used per block — sizes are tiny
 (nx ≤ a few dozen), and the whole factorization is sequential in K but K is
 only 2·legs.
+
+The factorization is exposed separately (:func:`factorize` +
+:func:`solve_factored`) so that (a) iterative refinement re-solves on the
+residual without re-eliminating (reference ``blockTridiagRefinementStep``,
+``block-tridiagonal.hpp:145``) and (b) the parallel Riccati solver can fold
+θ-feedback into first-stage state feedback (``collapseFeedback``,
+``parallel-solver.hpp:55-66``) using the recorded ``W`` factors, which encode
+``∂x_{k+1}/∂x_k = -W_k`` along the elimination chain.
 """
 
 from __future__ import annotations
@@ -21,47 +29,67 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def solve(diag, lower, rhs):
-    """Solve the symmetric block-tridiagonal system. Returns x (K, n).
+def factorize(diag, lower):
+    """Downward block elimination (from block K-1 to 0).
 
-    Backward elimination from the last block (matching the reference's
-    ``symmetricBlockTridiagSolve`` which eliminates upward), then forward
-    substitution.
+    Schur complements: ``D̃_{K-1} = D_{K-1}``;
+    ``D̃_k = D_k - L_kᵀ D̃_{k+1}^{-1} L_k``. Returns ``(Dt0, Dts, Ws)`` where
+    ``Dts[k] = D̃_{k+1}`` and ``Ws[k] = D̃_{k+1}^{-1} L_k`` for k = 0..K-2.
+    In the forward substitution ``x_{k+1} = D̃_{k+1}^{-1} b̃_{k+1} - W_k x_k``,
+    so ``-W_k`` is the exact total sensitivity ``∂x_{k+1}/∂x_k``.
     """
-    K = diag.shape[0]
 
-    # Downward elimination from block K-1 to 1:
-    #   Schur: D̃_{k-1} = D_{k-1} - L_{k-1}ᵀ D̃_k^{-1} L_{k-1}
-    #   rhs:   b̃_{k-1} = b_{k-1} - L_{k-1}ᵀ D̃_k^{-1} b̃_k
-    def elim(carry, inp):
-        Dt_next, bt_next = carry
-        D_k, L_k, b_k = inp  # k from K-2 down to 0; L_k couples k and k+1
-        X = jnp.linalg.solve(Dt_next, jnp.concatenate([L_k, bt_next[:, None]], axis=1))
-        W = X[:, :-1]  # D̃_{k+1}^{-1} L_k
-        y = X[:, -1]  # D̃_{k+1}^{-1} b̃_{k+1}
+    def elim(Dt_next, inp):
+        D_k, L_k = inp
+        W = jnp.linalg.solve(Dt_next, L_k)
         Dt = D_k - L_k.T @ W
-        bt = b_k - L_k.T @ y
-        return (Dt, bt), (Dt_next, W, y)
+        return Dt, (Dt_next, W)
 
-    (Dt0, bt0), (Dts, Ws, ys) = lax.scan(
-        elim, (diag[K - 1], rhs[K - 1]), (diag[: K - 1], lower, rhs[: K - 1]),
-        reverse=True,
+    K = diag.shape[0]
+    Dt0, (Dts, Ws) = lax.scan(
+        elim, diag[K - 1], (diag[: K - 1], lower), reverse=True
     )
+    return Dt0, Dts, Ws
 
-    # Forward substitution: x_0 = D̃_0^{-1} b̃_0; x_{k+1} = D̃_{k+1}^{-1}(b̃_{k+1} - L_k x_k)
+
+def solve_factored(factors, lower, rhs):
+    """Solve with a precomputed :func:`factorize` result. Returns x (K, n)."""
+    Dt0, Dts, Ws = factors
+
+    # rhs elimination: b̃_{K-1} = b_{K-1}; b̃_k = b_k - W_kᵀ b̃_{k+1}
+    # (D̃ symmetric ⇒ L_kᵀ D̃_{k+1}^{-1} = W_kᵀ).
+    def rhs_elim(bt_next, inp):
+        b_k, W_k = inp
+        bt = b_k - W_k.T @ bt_next
+        return bt, bt_next
+
+    K = rhs.shape[0]
+    bt0, bts = lax.scan(rhs_elim, rhs[K - 1], (rhs[: K - 1], Ws), reverse=True)
+
     x0 = jnp.linalg.solve(Dt0, bt0)
 
     def fwd(x_k, inp):
-        Dt_next, L_k, bt_next = inp
-        x_next = jnp.linalg.solve(Dt_next, bt_next - L_k @ x_k)
+        Dt_next, W_k, bt_next = inp
+        x_next = jnp.linalg.solve(Dt_next, bt_next) - W_k @ x_k
         return x_next, x_next
 
-    # b̃_{k+1} values: for k+1 < K-1 they were modified during elimination; we
-    # recorded D̃_{k+1} in Dts; recompute b̃ values by re-running elimination
-    # bookkeeping: ys[k] = D̃_{k+1}^{-1} b̃_{k+1} → b̃_{k+1} = D̃_{k+1} ys[k].
-    bts = jnp.einsum("kij,kj->ki", Dts, ys)
-    _, xs_rest = lax.scan(fwd, x0, (Dts, lower, bts))
+    _, xs_rest = lax.scan(fwd, x0, (Dts, Ws, bts))
     return jnp.concatenate([x0[None], xs_rest], axis=0)
+
+
+def solve(diag, lower, rhs, refine_steps: int = 0):
+    """Solve the symmetric block-tridiagonal system. Returns x (K, n).
+
+    ``refine_steps`` iterative-refinement passes reuse the factorization
+    (reference runs ≤5 such steps on the condensed system,
+    ``parallel-solver.hxx:148-175``).
+    """
+    factors = factorize(diag, lower)
+    x = solve_factored(factors, lower, rhs)
+    for _ in range(refine_steps):
+        resid = rhs - matmul(diag, lower, x)
+        x = x + solve_factored(factors, lower, resid)
+    return x
 
 
 def matmul(diag, lower, x):

@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .._pytree import replace
+from .._pytree import pytree_dataclass, replace
 from . import block_tridiag
 from .lqr_problem import LQRKnots, LQRProblem, add_parameterization
 from .riccati import forward as serial_forward
@@ -35,6 +35,22 @@ def _split_legs(kn: LQRKnots, legs: int) -> LQRKnots:
     return jax.tree.map(lambda a: a.reshape((legs, m) + a.shape[1:]), kn)
 
 
+@pytree_dataclass
+class ParallelGains:
+    """Control gains recovered from the parallel-in-time solve (for MPC).
+
+    ``kff`` has the θ-feedback folded in using the solved interface costates
+    (so ``u_t = kff_t + K_t x_t`` exactly reproduces the solution controls);
+    ``K[0]`` is the *collapsed* first-stage feedback — the θ-sensitivity is
+    folded into state feedback via the condensed elimination chain
+    (reference ``collapseFeedback``, ``parallel-solver.hpp:55-66``) so it
+    equals the serial solver's ``K[0]``.
+    """
+
+    kff: jax.Array  # (T, nu)
+    K: jax.Array  # (T, nu, nx)
+
+
 def solve(
     problem: LQRProblem,
     mudyn,
@@ -42,12 +58,19 @@ def solve(
     legs: int,
     assume_explicit: bool = False,
     time_sharding=None,
+    refine_steps: int = 1,
+    return_gains: bool = False,
 ):
     """Solve the proximal LQ problem with L parallel legs.
 
     Returns ``(xs, us, vs, lams)`` identical (to rounding) to the serial
     solver — cross-validated in ``tests/gar/test_parallel.py`` exactly as the
-    reference validates (``tests/gar/parallel.cpp``).
+    reference validates (``tests/gar/parallel.cpp``). With ``return_gains``
+    a :class:`ParallelGains` is appended to the tuple.
+
+    ``refine_steps`` iterative-refinement passes run on the condensed
+    interface system (reference ``parallel-solver.hxx:148-175``), which is
+    what keeps many-leg fp32 solves accurate.
     """
     kn = problem.knots
     T = kn.Q.shape[0]
@@ -116,7 +139,11 @@ def solve(
     rhs = rhs.at[1::2].set(-p_leg)
     rhs = rhs.at[2::2].set(-vt_leg[: legs - 1])
 
-    sol = block_tridiag.solve(diag, lower, rhs)  # (K, nx)
+    bt_factors = block_tridiag.factorize(diag, lower)
+    sol = block_tridiag.solve_factored(bt_factors, lower, rhs)  # (K, nx)
+    for _ in range(refine_steps):
+        resid = rhs - block_tridiag.matmul(diag, lower, sol)
+        sol = sol + block_tridiag.solve_factored(bt_factors, lower, resid)
 
     lam_heads = sol[0::2]  # (legs,) λ at each leg head
     x_heads = sol[1::2]  # (legs,) x at each leg head
@@ -160,4 +187,24 @@ def solve(
     def merge(a):
         return a.reshape((T,) + a.shape[2:])
 
-    return merge(xs_l), merge(us_l), merge(vs_l), merge(lams_l)
+    out = (merge(xs_l), merge(us_l), merge(vs_l), merge(lams_l))
+    if not return_gains:
+        return out
+
+    # θ-folded feedforward: u_t = kff_t + K_t x_t + Kth_t θ_leg(t)
+    kff_eff = stages["kff"] + jnp.einsum(
+        "lmun,ln->lmu", stages["Kth"], thetas
+    )
+    K_all = merge(stages["K"])
+    kff_all = merge(kff_eff)
+    if legs > 1:
+        # collapseFeedback (parallel-solver.hpp:55-66): θ_0 is condensed
+        # variable 2, x_0 is condensed variable 1; the elimination chain gives
+        # θ_0(x_0) = θ_0* + W_1 (x_0* - x_0), so fold Kth into state feedback
+        # at stage 0 (and shift the feedforward to keep u_0 = kff + K x_0
+        # exact at the solution and to first order around it).
+        _, _, Ws = bt_factors
+        Kth0 = stages["Kth"][0, 0]
+        K_all = K_all.at[0].set(K_all[0] - Kth0 @ Ws[1])
+        kff_all = kff_all.at[0].add(Kth0 @ (Ws[1] @ x_heads[0]))
+    return out + (ParallelGains(kff=kff_all, K=K_all),)

@@ -80,6 +80,13 @@ class ProxDDPConfig:
     ls_alpha_min: float = 1e-6
     ls_max_steps: int = 20
     ls_contraction: float = 0.5
+    # step-size interpolation (reference linesearch-armijo.hpp:45-120):
+    # 'bisection' | 'quadratic' | 'cubic' (reference default CUBIC). The
+    # interpolated minimizer is safeguarded to
+    # [ls_contraction_min*α, ls_contraction_max*α].
+    ls_interp: str = "cubic"
+    ls_contraction_min: float = 0.5
+    ls_contraction_max: float = 0.8
     # step acceptance: 'nonmonotone' (Zhang-Hager moving average, the
     # reference default), 'armijo' (monotone backtracking), or 'filter'
     # (merit/infeasibility dominance filter, reference core/filter.hpp:12)
@@ -90,10 +97,21 @@ class ProxDDPConfig:
     # multiplier update on BCL success (reference core/enums.hpp:23):
     # 'newton' | 'primal' | 'primal_dual'
     multiplier_update_mode: str = "newton"
+    # Hessian approximation (reference HessianApprox, core/enums.hpp:14):
+    # 'gauss_newton' or 'exact' (adds costate-contracted dynamics VHPs to the
+    # LQ knot, solver-proxddp.hxx:839-843). Pair 'exact' with
+    # non-Gauss-Newton costs (QuadraticResidualCost(gauss_newton=False)) for
+    # a fully exact Newton step.
+    hessian_approx: str = "gauss_newton"
     dphi_thresh: float = 1e-13
     # rollout type: 'linear' (TPU-friendly, parallel-solver compatible) or
     # 'nonlinear' (reference default)
     rollout: str = "linear"
+    # Newton iterations for implicit dynamics inside the nonlinear rollout
+    # (reference SolverProxDDP::rollout_max_iters, default 1 —
+    # solver-proxddp.hxx:84,411; forwardDynamics::run, utils/forward-dyn.hpp:29).
+    # Raise for stiff implicit integrators (e.g. IntegratorMidpoint).
+    rollout_max_iters: int = 1
     # LQ subproblem solver (reference LQSolverChoice): 'serial' or
     # 'parallel' (parallel-in-time leg condensation; requires linear rollout
     # and (N+1) %% parallel_legs == 0)
@@ -318,8 +336,15 @@ def _assemble_lq(problem, cfg, data, m, Lxs, Lus, preg, mu):
     Q = data.Lxx + preg * eye_x  # (N+1, ndx, ndx)
     q = Lxs + jnp.concatenate([corr_x, corr_xt[None]], axis=0)
 
-    S = jnp.concatenate([data.Lxu, jnp.zeros((1, ndx, nu), dt)], axis=0)
-    R = jnp.concatenate([data.Luu + preg * eye_u, eye_u[None]], axis=0)
+    Lxu, Luu = data.Lxu, data.Luu
+    if data.Hxx is not None:
+        # exact-Hessian mode: add costate-contracted dynamics VHPs
+        # (reference solver-proxddp.hxx:839-843)
+        Q = Q.at[:N].add(data.Hxx)
+        Lxu = Lxu + data.Hxu
+        Luu = Luu + data.Huu
+    S = jnp.concatenate([Lxu, jnp.zeros((1, ndx, nu), dt)], axis=0)
+    R = jnp.concatenate([Luu + preg * eye_u, eye_u[None]], axis=0)
     r = jnp.concatenate([Lus + corr_u, jnp.zeros((1, nu), dt)], axis=0)
 
     zx = jnp.zeros((1, ndx, ndx), dt)
@@ -398,7 +423,7 @@ def _nonlinear_rollout(problem, cfg, state, factors, steps, alpha, mu):
             # implicit dynamics: Newton-solve r(x,u,y) + slack = 0 in-loop
             # (reference forwardDynamics::run, utils/forward-dyn.hpp:38-55)
             x_next_tr = stage.dynamics.forward_with_gap(
-                space, x_tr, u_tr, slack, iters=1
+                space, x_tr, u_tr, slack, iters=cfg.rollout_max_iters
             )
         dx_next = space.difference(x_next, x_next_tr)
         return (x_next_tr, dx_next), dict(
@@ -626,7 +651,10 @@ def solve(
             jnp.maximum(cfg.reg_min, st.preg_last * cfg.reg_dec_k),
         )
         st = replace(st, preg=preg0)
-        data = problem_mod.compute_derivatives(problem, st.xs, st.us)
+        vhp_lams = st.lams if cfg.hessian_approx == "exact" else None
+        data = problem_mod.compute_derivatives(
+            problem, st.xs, st.us, lams=vhp_lams
+        )
         m = _compute_multipliers(
             problem, cfg, data, st, st.lams, st.vs, st.vs_term
         )
@@ -644,13 +672,16 @@ def solve(
                 raise ValueError(
                     "parallel linear solver requires rollout='linear'"
                 )
-            dxs, dus_p, dvs_p, dlams = gar_parallel.solve(
-                lq, mudyn, st.mu, cfg.parallel_legs, assume_explicit
+            dxs, dus_p, dvs_p, dlams, pgains = gar_parallel.solve(
+                lq, mudyn, st.mu, cfg.parallel_legs, assume_explicit,
+                return_gains=True,
             )
-            factors = riccati.backward(lq, mudyn, st.mu, assume_explicit)                 if False else None
+            factors = None
+            gain_K, gain_kff = pgains.K, pgains.kff
         else:
             factors = riccati.backward(lq, mudyn, st.mu, assume_explicit)
             dxs, dus_p, dvs_p, dlams = riccati.forward(factors)
+            gain_K, gain_kff = factors.K, factors.kff
         dus = dus_p[:N]
         dvs = dvs_p[:N, :nc]
         dvs_t = dvs_p[N, :nct]
@@ -736,8 +767,56 @@ def solve(
             st = replace(st, filter_vals=fvals, filter_valid=fvalid)
         else:
 
+            def _interp_alpha(k, alpha, phi_a, alpha_p, phi_p):
+                """Safeguarded polynomial step proposal (reference
+                minimize_interpolant, linesearch-armijo.hpp:150-210):
+                quadratic from (φ(0), φ'(0), φ(α)); cubic additionally uses
+                the previous sample (α_p, φ(α_p)); the minimizer is clamped
+                to [c_min·α, c_max·α]."""
+                if cfg.ls_interp == "bisection":
+                    return alpha * cfg.ls_contraction
+                # quadratic model: φ0 + dφ0·a + qa·a²
+                qa = (phi1_safe(phi_a) - phi0 - alpha * dphi0) / (alpha * alpha)
+                cand_quad = -dphi0 / (2.0 * qa)
+                cand = cand_quad
+                if cfg.ls_interp == "cubic":
+                    # cubic model through (α, φ_a) and (α_p, φ_p):
+                    # c3 a³ + c2 a² + dφ0 a + φ0
+                    a0, a1 = alpha, alpha_p
+                    r0 = phi1_safe(phi_p) - phi0 - dphi0 * a1
+                    r1 = phi1_safe(phi_a) - phi0 - dphi0 * a0
+                    det = a0 * a0 * a0 * a1 * a1 - a0 * a0 * a1 * a1 * a1
+                    c3 = (a0 * a0 * r0 - a1 * a1 * r1) / det
+                    c2 = (a1 * a1 * a1 * r1 - a0 * a0 * a0 * r0) / det
+                    disc = c2 * c2 - 3.0 * c3 * dphi0
+                    cand_cubic = (-c2 + jnp.sqrt(jnp.maximum(disc, 0.0))) / (
+                        3.0 * c3
+                    )
+                    use_cubic = jnp.logical_and(
+                        k >= 1,
+                        jnp.logical_and(
+                            jnp.isfinite(cand_cubic), jnp.abs(c3) > 1e-30
+                        ),
+                    )
+                    cand = jnp.where(use_cubic, cand_cubic, cand_quad)
+                cand = jnp.where(
+                    jnp.isfinite(cand), cand, cfg.ls_contraction_min * alpha
+                )
+                return jnp.clip(
+                    cand,
+                    cfg.ls_contraction_min * alpha,
+                    cfg.ls_contraction_max * alpha,
+                )
+
+            def phi1_safe(p):
+                # a NaN/Inf merit sample would poison the interpolant; treat
+                # it as a very large finite value so the proposal collapses
+                # to the lower safeguard (reference backtracks on exception).
+                big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype)
+                return jnp.where(jnp.isfinite(p), p, big)
+
             def ls_cond(carry):
-                k, alpha, trial, cost, phi, prim = carry
+                k, alpha, trial, cost, phi, prim, a_prev, phi_prev = carry
                 # NaN-safe: a NaN/Inf merit must fail the acceptance test and
                 # trigger backtracking (the reference raises + catches,
                 # linesearch-armijo.hpp:70-81 / filter.hpp:47-57).
@@ -748,15 +827,22 @@ def solve(
                 )
 
             def ls_body(carry):
-                k, alpha, trial, cost, phi, prim = carry
-                alpha2 = jnp.maximum(alpha * cfg.ls_contraction, cfg.ls_alpha_min)
+                k, alpha, trial, cost, phi, prim, a_prev, phi_prev = carry
+                alpha2 = jnp.maximum(
+                    _interp_alpha(k, alpha, phi, a_prev, phi_prev),
+                    cfg.ls_alpha_min,
+                )
                 trial2, cost2, phi2, prim2 = try_alpha(alpha2)
-                return (k + 1, alpha2, trial2, cost2, phi2, prim2)
+                return (k + 1, alpha2, trial2, cost2, phi2, prim2, alpha, phi)
 
-            k, alpha, trial, cost, phi, _ = lax.while_loop(
+            one = jnp.asarray(1.0, dtype)
+            k, alpha, trial, cost, phi, _, _, _ = lax.while_loop(
                 ls_cond,
                 ls_body,
-                (jnp.asarray(0, jnp.int32), jnp.asarray(1.0, dtype), trial1, cost1, phi1, prim1),
+                (
+                    jnp.asarray(0, jnp.int32), one, trial1, cost1, phi1,
+                    prim1, one, phi1,
+                ),
             )
 
         # early-stop: with a null directional derivative the step is noise
@@ -782,8 +868,8 @@ def solve(
             lams=tlams,
             cost=jnp.where(trial_ok, cost, st.cost),
             merit=jnp.where(trial_ok, phi, st.merit),
-            K=factors.K if factors is not None else st.K,
-            kff=factors.kff if factors is not None else st.kff,
+            K=gain_K,
+            kff=gain_kff,
         )
 
         # regularization schedule (solver-proxddp.hpp:349-366): on linesearch

@@ -71,3 +71,48 @@ def test_parallel_jit_vmap():
         prob_i = jax.tree.map(lambda a: a[i], probs)
         errs = gar.kkt_error(prob_i, xs[i], us[i], vs[i], lams[i], MUDYN, MUEQ)
         assert max(float(e) for e in errs) < 1e-8
+
+
+@pytest.mark.parametrize("legs", [2, 4])
+def test_parallel_gains_collapse(legs):
+    """Parallel-path gains: collapsed stage-0 feedback equals the serial
+    solver's K[0] (reference collapseFeedback, parallel-solver.hpp:55-66),
+    and u_t = kff_t + K_t x_t reproduces the solution controls at every
+    stage."""
+    from aligator_tpu.gar import riccati
+
+    N, nx, nu, nc = 11, 4, 3, 2
+    prob = gar.random_problem(
+        jax.random.PRNGKey(7 + legs), N, nx, nu, nc, dtype=jnp.float64
+    )
+
+    factors = riccati.backward(prob, MUDYN, MUEQ, assume_explicit=True)
+    xs, us, vs, lams, gains = parallel.solve(
+        prob, MUDYN, MUEQ, legs=legs, assume_explicit=True, return_gains=True
+    )
+
+    # collapsed first-stage feedback matches serial
+    assert jnp.allclose(gains.K[0], factors.K[0], atol=1e-8)
+    # self-consistency: gains reproduce the solution controls at every stage
+    us_from_gains = gains.kff + jnp.einsum("tun,tn->tu", gains.K, xs)
+    assert jnp.allclose(us_from_gains, us, atol=1e-8)
+    # last leg is unparameterized: its feedback matches serial exactly
+    m = (N + 1) // legs
+    assert jnp.allclose(gains.K[-m:], factors.K[-m:], atol=1e-8)
+
+
+def test_condensed_refinement_fp32():
+    """fp32 many-leg solve: condensed-system iterative refinement keeps the
+    parallel solution close to the serial one (reference
+    parallel-solver.hxx:148-175)."""
+    N, nx, nu, nc = 31, 6, 3, 2
+    prob = gar.random_problem(
+        jax.random.PRNGKey(5), N, nx, nu, nc, dtype=jnp.float32
+    )
+    xs_s, us_s, _, _ = gar.solve(prob, 1e-2, 1e-2, assume_explicit=True)
+    xs_p, us_p, _, _ = parallel.solve(
+        prob, 1e-2, 1e-2, legs=16, assume_explicit=True, refine_steps=2
+    )
+    scale = jnp.max(jnp.abs(us_s))
+    assert jnp.max(jnp.abs(us_p - us_s)) / scale < 1e-5
+    assert jnp.max(jnp.abs(xs_p - xs_s)) / jnp.max(jnp.abs(xs_s)) < 1e-5

@@ -187,3 +187,138 @@ def test_bench_protocol_se2_car_fp32():
     assert bool(res.conv)
     assert int(res.num_iters) <= 8
     assert bool(jnp.isfinite(res.us).all())
+
+
+def test_parallel_gains_in_results():
+    """The parallel LQ path must return usable feedback gains (reference
+    collapseFeedback, parallel-solver.hpp:55-66): stage-0 feedback equals
+    the serial path's."""
+    problem = make_lqr(nsteps=19, u_bound=0.2)
+    cfg_s = solvers.ProxDDPConfig(tol=1e-8, max_iters=100)
+    cfg_p = solvers.ProxDDPConfig(
+        tol=1e-8, max_iters=100, linear_solver="parallel", parallel_legs=4
+    )
+    r1 = solvers.solve(problem, cfg_s)
+    r2 = solvers.solve(problem, cfg_p)
+    assert float(jnp.max(jnp.abs(r2.K))) > 0.0  # not stale zeros
+    assert float(jnp.max(jnp.abs(r1.K[0] - r2.K[0]))) < 1e-8
+    # last-leg gains are unparameterized and match serial too (results.K
+    # drops the terminal knot, so the last leg contributes 4 rows here;
+    # interface-knot gains are θ-parameterized by design and differ)
+    assert float(jnp.max(jnp.abs(r1.K[-4:] - r2.K[-4:]))) < 1e-8
+
+
+@pytest.mark.parametrize("interp", ["bisection", "quadratic", "cubic"])
+def test_ls_interp_variants(interp):
+    """Armijo with polynomial step interpolation (reference
+    linesearch-armijo.hpp:45-120) converges on the box-constrained LQR."""
+    problem = make_lqr(nsteps=20, u_bound=0.1)
+    cfg = solvers.ProxDDPConfig(
+        tol=1e-8, max_iters=150, ls_strategy="armijo", ls_interp=interp
+    )
+    res = solvers.solve(problem, cfg)
+    assert bool(res.conv)
+    assert float(jnp.max(jnp.abs(res.us))) <= 0.1 + 1e-6
+
+
+def test_dynamics_vhp_finite_differences():
+    """Costate-contracted dynamics VHPs (exact-Hessian mode) match finite
+    differences of λᵀr (reference computeVectorHessianProducts,
+    core/dynamics.hpp:66)."""
+    from examples.pendulum import create_pendulum_problem
+
+    problem = create_pendulum_problem(nsteps=5)
+    space = problem.space
+    N = problem.nsteps
+    key = jax.random.PRNGKey(0)
+    xs = 0.3 * jax.random.normal(key, (N + 1, 2), jnp.float64)
+    us = 0.2 * jax.random.normal(jax.random.PRNGKey(1), (N, 1), jnp.float64)
+    lams = jax.random.normal(jax.random.PRNGKey(2), (N + 1, 2), jnp.float64)
+
+    Hxx, Hxu, Huu = core.problem.dynamics_vhp(problem, xs, us, lams[1:])
+
+    t = 2
+    stage = problem.stage_at(t)
+    eps = 1e-5
+
+    def g(z):
+        dx, du = z[:2], z[2:]
+        r = stage.dynamics.residual(
+            space, space.integrate(xs[t], dx), us[t] + du, xs[t + 1]
+        )
+        return float(lams[t + 1] @ r)
+
+    import numpy as np
+
+    nz = 3
+    H_fd = np.zeros((nz, nz))
+    for i in range(nz):
+        for j in range(nz):
+            zpp = np.zeros(nz); zpp[i] += eps; zpp[j] += eps
+            zpm = np.zeros(nz); zpm[i] += eps; zpm[j] -= eps
+            zmp = np.zeros(nz); zmp[i] -= eps; zmp[j] += eps
+            zmm = np.zeros(nz); zmm[i] -= eps; zmm[j] -= eps
+            H_fd[i, j] = (g(zpp) - g(zpm) - g(zmp) + g(zmm)) / (4 * eps * eps)
+    H = np.block(
+        [
+            [np.asarray(Hxx[t]), np.asarray(Hxu[t])],
+            [np.asarray(Hxu[t]).T, np.asarray(Huu[t])],
+        ]
+    )
+    assert np.allclose(H, H_fd, atol=1e-5)
+
+
+def test_exact_hessian_mode():
+    """hessian_approx='exact' (reference HessianApprox::EXACT): on the
+    pendulum swing-up at tight tolerance, Gauss-Newton stalls (hits
+    max_iters) while the exact-Hessian Newton converges quadratically —
+    and both land on the same solution."""
+    from examples.pendulum import create_pendulum_problem
+
+    problem = create_pendulum_problem(nsteps=30)
+    base = dict(tol=1e-6, max_iters=200, rollout="nonlinear")
+    r_gn = solvers.solve(problem, solvers.ProxDDPConfig(**base))
+    r_ex = solvers.solve(
+        problem, solvers.ProxDDPConfig(**base, hessian_approx="exact")
+    )
+    assert bool(r_ex.conv)
+    assert int(r_ex.num_iters) < 50
+    assert int(r_ex.num_iters) < int(r_gn.num_iters)
+    # GN's 200-iteration iterate agrees with the exact solution
+    assert float(jnp.max(jnp.abs(r_ex.us - r_gn.us))) < 1e-4
+
+
+def test_rollout_newton_iters_midpoint():
+    """Implicit midpoint under the nonlinear rollout: with enough in-rollout
+    Newton iterations (rollout_max_iters, reference solver-proxddp.hxx:84)
+    the solution matches the linear-rollout one."""
+    from aligator_tpu.modelling import IntegratorMidpoint
+    from aligator_tpu.modelling.dynamics.ode import LinearODE
+
+    dtype = jnp.float64
+    space = core.VectorSpace(2)
+    Ac = jnp.array([[0.0, 1.0], [-4.0, -0.4]], dtype)
+    Bc = jnp.array([[0.0], [1.0]], dtype)
+    ode = LinearODE(A=Ac, B=Bc, c=jnp.zeros(2, dtype))
+    dyn = IntegratorMidpoint(ode=ode, timestep=jnp.asarray(0.08, dtype))
+    cost = core.QuadraticCost.create(
+        0.01 * jnp.eye(2, dtype=dtype), 0.01 * jnp.eye(1, dtype=dtype)
+    )
+    term_cost = core.QuadraticCost.create(
+        jnp.eye(2, dtype=dtype) * 10.0, jnp.zeros((1, 1), dtype)
+    )
+    stage = core.make_stage(cost, dyn, space, 1)
+    problem = core.make_problem(
+        jnp.array([1.0, 0.0], dtype), stage, 25, term_cost
+    )
+    r_lin = solvers.solve(
+        problem, solvers.ProxDDPConfig(tol=1e-9, max_iters=60)
+    )
+    r_nl = solvers.solve(
+        problem,
+        solvers.ProxDDPConfig(
+            tol=1e-9, max_iters=60, rollout="nonlinear", rollout_max_iters=4
+        ),
+    )
+    assert bool(r_lin.conv) and bool(r_nl.conv)
+    assert float(jnp.max(jnp.abs(r_lin.us - r_nl.us))) < 1e-7
