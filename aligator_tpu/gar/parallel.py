@@ -2,7 +2,7 @@
 
 TPU-native re-design of the reference's ``ParallelRiccatiSolver``
 (``include/aligator/gar/parallel-solver.hxx``, RSS 2024): the horizon is
-split into L equal legs; each non-last leg is θ-parameterized by the costate
+split into L legs; each non-last leg is θ-parameterized by the costate
 at its outgoing interface (``setupKnot``: Gx = Aᵀ, Gu = Bᵀ, Gth = −μ_dyn I,
 γ = f — ``parallel-solver.hpp:43-51``); the per-leg backward sweeps run
 **batched via `vmap`** over the leg axis (the TPU replacement for OpenMP
@@ -11,9 +11,13 @@ value functions are assembled into a symmetric block-tridiagonal "condensed"
 interface system solved by a short `lax.scan`; forward substitution seeds
 each leg from the condensed solution and again `vmap`s over legs.
 
-Requirements: uniform leg length (``(N+1) % legs == 0``) and
-``nc0 == nx`` (state-dimension initial constraint) so the condensed blocks
-are uniform — both are the natural TPU padding conventions.
+Non-divisible horizons use the reference's balanced split (``get_work``,
+``gar/work.hpp:17-22``): leg lengths differ by at most one, realized as (at
+most) two uniform-shape leg groups so every sweep stays a vmap over static
+shapes — the TPU-native equivalent of ragged work ranges.
+
+Requirement: ``nc0 == nx`` (state-dimension initial constraint) so the
+condensed blocks are uniform — the natural TPU padding convention.
 """
 
 from __future__ import annotations
@@ -28,11 +32,26 @@ from .riccati import forward as serial_forward
 from .riccati import RiccatiFactors, sweep
 
 
-def _split_legs(kn: LQRKnots, legs: int) -> LQRKnots:
-    """Reshape stacked knots (T, ...) → (legs, m, ...)."""
-    T = kn.Q.shape[0]
-    m = T // legs
-    return jax.tree.map(lambda a: a.reshape((legs, m) + a.shape[1:]), kn)
+def get_work(T: int, legs: int):
+    """Balanced [start, end) leg ranges (reference ``gar/work.hpp:17-22``):
+    the first ``T % legs`` legs get one extra knot."""
+    base, rem = divmod(T, legs)
+    starts, lens = [], []
+    s = 0
+    for i in range(legs):
+        L = base + (1 if i < rem else 0)
+        starts.append(s)
+        lens.append(L)
+        s += L
+    return starts, lens
+
+
+def _slice_group(kn, starts, L):
+    """Stack static slices [s, s+L) of the knot arrays → leading leg axis."""
+    return jax.tree.map(
+        lambda a: jnp.stack([jax.lax.slice_in_dim(a, s, s + L) for s in starts]),
+        kn,
+    )
 
 
 @pytree_dataclass
@@ -75,12 +94,13 @@ def solve(
     kn = problem.knots
     T = kn.Q.shape[0]
     nx = kn.nx
-    if T % legs != 0:
-        raise ValueError(f"horizon+1={T} must be divisible by legs={legs}")
+    if legs > T:
+        raise ValueError(f"legs={legs} exceeds horizon+1={T}")
     if problem.nc0 != nx:
         raise ValueError("parallel solver requires nc0 == nx (pad G0)")
-    m = T // legs
     dt = kn.Q.dtype
+
+    starts, lens = get_work(T, legs)
 
     # 1. parameterize all legs by θ of dim nx (the last leg keeps zero
     #    G-blocks → its θ-quantities vanish identically).
@@ -89,7 +109,9 @@ def solve(
 
     # 2. interface knots: last knot of each non-last leg gets the costate
     #    parameterization (reference setupKnot).
-    idx = jnp.arange(legs - 1) * m + (m - 1)  # global knot indices
+    idx = jnp.array(
+        [starts[i + 1] - 1 for i in range(legs - 1)], jnp.int32
+    )  # global knot indices
     eye = jnp.eye(nx, dtype=dt)
     kn = replace(
         kn,
@@ -99,22 +121,40 @@ def solve(
         gamma=kn.gamma.at[idx].set(kn.f[idx]),
     )
 
-    legs_kn = _split_legs(kn, legs)
-    if time_sharding is not None:
-        # shard the leg axis over devices: each device runs its legs'
-        # backward/forward sweeps; only the tiny condensed system is global
-        # (the reference's OpenMP legs → ICI-sharded legs).
-        legs_kn = jax.lax.with_sharding_constraint(legs_kn, time_sharding)
+    # group legs by length (at most 2 distinct lengths); each group is a
+    # uniform-shape stack the backward/forward sweeps vmap over.
+    groups = []  # (leg_index_offset, starts, leg_len)
+    rem = T % legs
+    if rem == 0:
+        groups.append((0, starts, lens[0]))
+    else:
+        groups.append((0, starts[:rem], lens[0]))
+        groups.append((rem, starts[rem:], lens[rem]))
 
-    # 3. per-leg backward sweeps, batched over the leg axis.
-    carries, stages = jax.vmap(
-        lambda k: sweep(k, mudyn, mueq, assume_explicit)
-    )(legs_kn)
-    P_leg = carries["P"]  # (legs, nx, nx)  value at leg head
-    p_leg = carries["p"]  # (legs, nx)
-    Vxt_leg = carries["Vxt"]  # (legs, nx, nx)
-    Vtt_leg = carries["Vtt"]  # (legs, nx, nx)
-    vt_leg = carries["vt"]  # (legs, nx)
+    # 3. per-leg backward sweeps, batched over the leg axis per group.
+    group_stages = []
+    carry_parts = []
+    for off, g_starts, L in groups:
+        legs_kn = _slice_group(kn, g_starts, L)
+        if time_sharding is not None:
+            # shard the leg axis over devices: each device runs its legs'
+            # backward/forward sweeps; only the tiny condensed system is
+            # global (the reference's OpenMP legs → ICI-sharded legs).
+            legs_kn = jax.lax.with_sharding_constraint(legs_kn, time_sharding)
+        carries, stages = jax.vmap(
+            lambda k: sweep(k, mudyn, mueq, assume_explicit)
+        )(legs_kn)
+        group_stages.append(stages)
+        carry_parts.append(carries)
+
+    def cat_carry(name):
+        return jnp.concatenate([c[name] for c in carry_parts], axis=0)
+
+    P_leg = cat_carry("P")  # (legs, nx, nx)  value at leg head
+    p_leg = cat_carry("p")  # (legs, nx)
+    Vxt_leg = cat_carry("Vxt")  # (legs, nx, nx)
+    Vtt_leg = cat_carry("Vtt")  # (legs, nx, nx)
+    vt_leg = cat_carry("vt")  # (legs, nx)
 
     # 4. condensed symmetric block-tridiagonal system in the interface
     #    variables [λ0, x_0^{(0)}, θ_0, x_0^{(1)}, θ_1, ..., x_0^{(L-1)}]
@@ -152,7 +192,7 @@ def solve(
         [lam_heads[1:], jnp.zeros((1, nx), dt)], axis=0
     )
 
-    # 5. per-leg forward substitution, batched over legs.
+    # 5. per-leg forward substitution, batched over legs per group.
     def leg_forward(leg_facs, x0, lam0, theta):
         facs = RiccatiFactors(
             kff=leg_facs["kff"],
@@ -177,26 +217,47 @@ def solve(
         )
         return serial_forward(facs, theta=theta, x0=x0, lam0=lam0)
 
-    if time_sharding is not None:
-        stages = jax.lax.with_sharding_constraint(stages, time_sharding)
-    xs_l, us_l, vs_l, lams_l = jax.vmap(leg_forward)(
-        stages, x_heads, lam_heads, thetas
-    )
-    # (legs, m, ·) → (T, ·); per-leg lams[0] is the leg-head costate which is
-    # the global costate at that index.
-    def merge(a):
-        return a.reshape((T,) + a.shape[2:])
+    sol_parts = []  # per group: (xs, us, vs, lams) flattened over time
+    for (off, g_starts, L), stages in zip(groups, group_stages):
+        n_legs_g = len(g_starts)
+        sl = slice(off, off + n_legs_g)
+        if time_sharding is not None:
+            stages = jax.lax.with_sharding_constraint(stages, time_sharding)
+        xs_l, us_l, vs_l, lams_l = jax.vmap(leg_forward)(
+            stages, x_heads[sl], lam_heads[sl], thetas[sl]
+        )
+        # (n_legs_g, L, ·) → (n_legs_g * L, ·); per-leg lams[0] is the
+        # leg-head costate, the global costate at that index.
+        sol_parts.append(
+            tuple(
+                a.reshape((n_legs_g * L,) + a.shape[2:])
+                for a in (xs_l, us_l, vs_l, lams_l)
+            )
+        )
 
-    out = (merge(xs_l), merge(us_l), merge(vs_l), merge(lams_l))
+    def merge(i):
+        return jnp.concatenate([p[i] for p in sol_parts], axis=0)
+
+    out = (merge(0), merge(1), merge(2), merge(3))
     if not return_gains:
         return out
 
     # θ-folded feedforward: u_t = kff_t + K_t x_t + Kth_t θ_leg(t)
-    kff_eff = stages["kff"] + jnp.einsum(
-        "lmun,ln->lmu", stages["Kth"], thetas
-    )
-    K_all = merge(stages["K"])
-    kff_all = merge(kff_eff)
+    gain_parts = []
+    for (off, g_starts, L), stages in zip(groups, group_stages):
+        n_legs_g = len(g_starts)
+        sl = slice(off, off + n_legs_g)
+        kff_eff = stages["kff"] + jnp.einsum(
+            "lmun,ln->lmu", stages["Kth"], thetas[sl]
+        )
+        gain_parts.append(
+            (
+                kff_eff.reshape((n_legs_g * L,) + kff_eff.shape[2:]),
+                stages["K"].reshape((n_legs_g * L,) + stages["K"].shape[2:]),
+            )
+        )
+    kff_all = jnp.concatenate([g[0] for g in gain_parts], axis=0)
+    K_all = jnp.concatenate([g[1] for g in gain_parts], axis=0)
     if legs > 1:
         # collapseFeedback (parallel-solver.hpp:55-66): θ_0 is condensed
         # variable 2, x_0 is condensed variable 1; the elimination chain gives
@@ -204,7 +265,7 @@ def solve(
         # at stage 0 (and shift the feedforward to keep u_0 = kff + K x_0
         # exact at the solution and to first order around it).
         _, _, Ws = bt_factors
-        Kth0 = stages["Kth"][0, 0]
+        Kth0 = group_stages[0]["Kth"][0, 0]
         K_all = K_all.at[0].set(K_all[0] - Kth0 @ Ws[1])
         kff_all = kff_all.at[0].add(Kth0 @ (Ws[1] @ x_heads[0]))
     return out + (ParallelGains(kff=kff_all, K=K_all),)

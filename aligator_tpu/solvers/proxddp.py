@@ -121,6 +121,9 @@ class ProxDDPConfig:
     # record per-iteration convergence traces (HistoryCallback equivalent,
     # reference core/history-callback.hpp:14)
     record_history: bool = False
+    # additionally record full xs/us iterate traces per iteration (reference
+    # HistoryCallback with store_primal=true, core/history-callback.hpp:36-47)
+    record_history_trajs: bool = False
     # initial BCL tolerances
     inner_tol0: float = 1.0
     prim_tol0: float = 1.0
@@ -151,6 +154,9 @@ class ProxDDPResults:
     kff: Optional[jax.Array] = None  # (N, nu)
     # per-iteration traces [prim, dual, inner_crit, cost, merit, mu, al_iter]
     history: Optional[jax.Array] = None  # (max_iters, 7)
+    # full iterate traces (record_history_trajs)
+    history_xs: Optional[jax.Array] = None  # (max_iters, N+1, nx)
+    history_us: Optional[jax.Array] = None  # (max_iters, N, nu)
 
 
 @pytree_dataclass
@@ -184,6 +190,8 @@ class _State:
     K: jax.Array
     kff: jax.Array
     history: jax.Array  # (max_iters, 7) or (0, 7)
+    hist_xs: jax.Array  # (max_iters, N+1, nx) or (0, ...)
+    hist_us: jax.Array  # (max_iters, N, nu) or (0, ...)
 
 
 def _infnorm(a):
@@ -553,6 +561,14 @@ def solve(
         history=jnp.zeros(
             (cfg.max_iters if cfg.record_history else 0, 7), dtype
         ),
+        hist_xs=jnp.zeros(
+            (cfg.max_iters if cfg.record_history_trajs else 0, N + 1)
+            + problem.x0.shape,
+            dtype,
+        ),
+        hist_us=jnp.zeros(
+            (cfg.max_iters if cfg.record_history_trajs else 0, N, nu), dtype
+        ),
         K=jnp.zeros((N + 1, nu, ndx), dtype),
         kff=jnp.zeros((N + 1, nu), dtype),
     )
@@ -781,13 +797,14 @@ def solve(
                 cand = cand_quad
                 if cfg.ls_interp == "cubic":
                     # cubic model through (α, φ_a) and (α_p, φ_p):
-                    # c3 a³ + c2 a² + dφ0 a + φ0
+                    # c3 a³ + c2 a² + dφ0 a + φ0, coefficients by Cramer on
+                    # [[a0³,a0²],[a1³,a1²]][c3,c2] = [r(a0), r(a1)]
                     a0, a1 = alpha, alpha_p
-                    r0 = phi1_safe(phi_p) - phi0 - dphi0 * a1
-                    r1 = phi1_safe(phi_a) - phi0 - dphi0 * a0
-                    det = a0 * a0 * a0 * a1 * a1 - a0 * a0 * a1 * a1 * a1
-                    c3 = (a0 * a0 * r0 - a1 * a1 * r1) / det
-                    c2 = (a1 * a1 * a1 * r1 - a0 * a0 * a0 * r0) / det
+                    r0 = phi1_safe(phi_a) - phi0 - dphi0 * a0
+                    r1 = phi1_safe(phi_p) - phi0 - dphi0 * a1
+                    det = a0 * a0 * a1 * a1 * (a0 - a1)
+                    c3 = (r0 * a1 * a1 - a0 * a0 * r1) / det
+                    c2 = (a0 * a0 * a0 * r1 - a1 * a1 * a1 * r0) / det
                     disc = c2 * c2 - 3.0 * c3 * dphi0
                     cand_cubic = (-c2 + jnp.sqrt(jnp.maximum(disc, 0.0))) / (
                         3.0 * c3
@@ -873,8 +890,11 @@ def solve(
         )
 
         # regularization schedule (solver-proxddp.hpp:349-366): on linesearch
-        # failure escalate; on success record the good value. A tiny-direction
-        # early stop is not a failure.
+        # failure escalate (increaseRegularization, then ``preg_last_ = preg_``
+        # at the end of EVERY inner iteration — solver-proxddp.hxx:726,733 —
+        # so escalations persist into the next iteration's
+        # initializeRegularization). A tiny-direction early stop is not a
+        # failure.
         ls_failed = jnp.logical_and(
             alpha <= cfg.ls_alpha_min, jnp.logical_not(tiny_dir)
         )
@@ -890,7 +910,7 @@ def solve(
         st = replace(
             st,
             preg=new_preg,
-            preg_last=jnp.where(ls_failed, st.preg_last, st.preg),
+            preg_last=new_preg,
             fail=jnp.logical_or(st.fail, fail),
         )
         return st
@@ -920,6 +940,12 @@ def solve(
                 ]
             )
             st = replace(st, history=st.history.at[st.iter].set(row))
+        if cfg.record_history_trajs:
+            st = replace(
+                st,
+                hist_xs=st.hist_xs.at[st.iter].set(st.xs),
+                hist_us=st.hist_us.at[st.iter].set(st.us),
+            )
 
         overall = jnp.logical_and(
             dual <= cfg.target_dual_tol, prim <= cfg.tol
@@ -968,4 +994,6 @@ def solve(
         K=st.K[: problem.nsteps],
         kff=st.kff[: problem.nsteps],
         history=st.history if cfg.record_history else None,
+        history_xs=st.hist_xs if cfg.record_history_trajs else None,
+        history_us=st.hist_us if cfg.record_history_trajs else None,
     )

@@ -116,3 +116,36 @@ def test_condensed_refinement_fp32():
     scale = jnp.max(jnp.abs(us_s))
     assert jnp.max(jnp.abs(us_p - us_s)) / scale < 1e-5
     assert jnp.max(jnp.abs(xs_p - xs_s)) / jnp.max(jnp.abs(xs_s)) < 1e-5
+
+
+@pytest.mark.parametrize("legs,N", [(3, 9), (4, 12), (5, 15)])
+def test_parallel_balanced_split(legs, N):
+    """Non-divisible horizons use the balanced get_work split (reference
+    gar/work.hpp:17-22): T % legs legs get one extra knot; the result still
+    matches the serial solver."""
+    prob = gar.random_problem(
+        jax.random.PRNGKey(100 + legs), N, 4, 2, 1, dtype=jnp.float64
+    )  # T = N+1 not divisible by legs
+    assert (N + 1) % legs != 0
+    xs_s, us_s, vs_s, lams_s = gar.solve(prob, MUDYN, MUEQ, assume_explicit=True)
+    xs_p, us_p, vs_p, lams_p, gains = parallel.solve(
+        prob, MUDYN, MUEQ, legs=legs, assume_explicit=True, return_gains=True
+    )
+    assert jnp.allclose(xs_p, xs_s, atol=1e-8)
+    assert jnp.allclose(us_p, us_s, atol=1e-8)
+    assert jnp.allclose(vs_p, vs_s, atol=1e-8)
+    assert jnp.allclose(lams_p, lams_s, atol=1e-8)
+    # collapsed stage-0 feedback still matches serial
+    from aligator_tpu.gar import riccati
+
+    factors = riccati.backward(prob, MUDYN, MUEQ, assume_explicit=True)
+    assert jnp.allclose(gains.K[0], factors.K[0], atol=1e-8)
+    us_from_gains = gains.kff + jnp.einsum("tun,tn->tu", gains.K, xs_p)
+    assert jnp.allclose(us_from_gains, us_p, atol=1e-8)
+
+
+def test_get_work_balanced():
+    starts, lens = parallel.get_work(10, 3)
+    assert starts == [0, 4, 7] and lens == [4, 3, 3]
+    starts, lens = parallel.get_work(12, 4)
+    assert starts == [0, 3, 6, 9] and lens == [3, 3, 3, 3]
