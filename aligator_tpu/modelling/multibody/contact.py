@@ -3,8 +3,10 @@
 Counterpart of ``MultibodyConstraintFwdDynamicsTpl`` (reference
 ``modelling/dynamics/multibody-constraint-fwd.hpp:20``), which calls
 Pinocchio's constrained-dynamics solver with ``RigidConstraintModel`` and
-prox settings. Here: 3D point contacts in the LOCAL_WORLD_ALIGNED frame,
-solved as a proximally-regularized KKT system
+prox settings. Here: 3D point contacts and 6D (flat-foot) contacts in the
+LOCAL_WORLD_ALIGNED frame — the two contact types the reference's legged
+examples use (``examples/solo_jump.py`` 3D, ``examples/talos_walk.py``
+CONTACT_6D) — solved as a proximally-regularized KKT system
 
     [[M,  Jᶜᵀ], [Jᶜ, −μI]] [a; −λ] = [τ − b; −(γ + Baumgarte)]
 
@@ -13,9 +15,14 @@ via a Cholesky Schur complement (the μ-regularization mirrors Pinocchio's
 Contact activity is a per-contact 0/1 flag array — rows of inactive contacts
 are masked (μ-dominated), so contact *schedules* can vary per stage through
 stacked stage parameters without shape changes.
+
+Contact Jacobians are analytic (``rbd.frame_jacobian_lwa`` from the
+world-frame dof axes) and all contacts share one kinematics pass.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -25,33 +32,49 @@ from ..dynamics.ode import ODE
 from . import model as rbd
 
 
-def frame_point_and_world_velocity(model, q, v, frame_id):
+def frame_point_and_world_velocity(model, q, v, frame_id, kin=None):
     """World position p(q) and world-frame linear velocity of a frame origin."""
-    R, p = rbd.frame_placement(model, q, frame_id)
-    vel_local = rbd.frame_velocity(model, q, v, frame_id)
-    return p, R @ vel_local[:3]
+    if kin is None:
+        kin = rbd.kinematics(model, q, v)
+    R, p = rbd.frame_placement(model, q, frame_id, kin=kin)
+    par = model.frame_parents[frame_id]
+    V = kin["V"][par]
+    return p, V[:3] + jnp.cross(V[3:], p)
 
 
-def contact_jacobian(model, q, frame_id):
+def frame_velocity_lwa(model, q, v, frame_id, kin=None):
+    """6D LOCAL_WORLD_ALIGNED frame velocity (linear at frame origin, angular),
+    world-aligned axes."""
+    if kin is None:
+        kin = rbd.kinematics(model, q, v)
+    _, p = rbd.frame_placement(model, q, frame_id, kin=kin)
+    par = model.frame_parents[frame_id]
+    V = kin["V"][par]
+    return jnp.concatenate([V[:3] + jnp.cross(V[3:], p), V[3:]])
+
+
+def contact_jacobian(model, q, frame_id, kin=None):
     """LOCAL_WORLD_ALIGNED 3×nv contact Jacobian: ∂(world point velocity)/∂v."""
-    def vw(vv):
-        _, vel = frame_point_and_world_velocity(model, q, vv, frame_id)
-        return vel
+    return rbd.frame_jacobian_lwa(model, q, frame_id, kin=kin)[:3]
 
-    return jax.jacfwd(vw)(jnp.zeros((model.nv,), q.dtype))
+
+def _drift(model, q, v, frame_id, dim):
+    """γ = d/dt(Jᶜ v) at zero joint acceleration (acceleration drift)."""
+    cspace = model.configuration_space()
+
+    def vel_of_dq(dq):
+        qq = cspace.integrate(q, dq)
+        if dim == 3:
+            _, vel = frame_point_and_world_velocity(model, qq, v, frame_id)
+            return vel
+        return frame_velocity_lwa(model, qq, v, frame_id)
+
+    z = jnp.zeros((model.nv,), q.dtype)
+    return jax.jvp(vel_of_dq, (z,), (v,))[1]
 
 
 def contact_drift(model, q, v, frame_id):
-    """γ = d/dt(Jᶜ v) at zero joint acceleration (point acceleration drift)."""
-    cspace = model.configuration_space()
-
-    def vw_of_dq(dq):
-        qq = cspace.integrate(q, dq)
-        _, vel = frame_point_and_world_velocity(model, qq, v, frame_id)
-        return vel
-
-    z = jnp.zeros((model.nv,), q.dtype)
-    return jax.jvp(vw_of_dq, (z,), (v,))[1]
+    return _drift(model, q, v, frame_id, 3)
 
 
 def constrained_fwd_dynamics(
@@ -65,38 +88,57 @@ def constrained_fwd_dynamics(
     kp=0.0,
     kd=0.0,
     p_refs=None,
+    contact_dims=None,
 ):
-    """Forward dynamics under active 3D point contacts.
+    """Forward dynamics under active 3D/6D contacts.
 
-    Returns ``(a, forces)`` with forces (n_contacts, 3) in world-aligned
-    coordinates (zero rows for inactive contacts).
+    ``contact_dims``: static tuple of 3 or 6 per contact (default all-3).
+    Returns ``(a, forces)`` with forces the flat (Σdims,) contact-force
+    vector in world-aligned coordinates (zero entries for inactive
+    contacts); slice per contact with ``contact_offsets``.
     """
     dtype = q.dtype
     nv = model.nv
+    if contact_dims is None:
+        contact_dims = (3,) * len(contact_frames)
+
     M = rbd.mass_matrix(model, q)
     b = rbd.rnea(model, q, v, jnp.zeros((nv,), dtype))
     free = tau - b
 
-    Js, gammas = [], []
+    kin = rbd.kinematics(model, q, v)
+    Js, gammas, act_rows = [], [], []
     for k, fid in enumerate(contact_frames):
-        J = contact_jacobian(model, q, fid)
-        g = contact_drift(model, q, v, fid)
-        # Baumgarte stabilization on position/velocity drift
-        p, vw = frame_point_and_world_velocity(model, q, v, fid)
-        corr = kd * vw
-        if p_refs is not None:
-            corr = corr + kp * (p - p_refs[k])
+        dim = contact_dims[k]
+        J6 = rbd.frame_jacobian_lwa(model, q, fid, kin=kin)
+        J = J6[:dim]
+        g = _drift(model, q, v, fid, dim)
+        # Baumgarte stabilization on velocity (and position via p_refs)
+        if dim == 3:
+            p, vw = frame_point_and_world_velocity(model, q, v, fid, kin=kin)
+            corr = kd * vw
+            if p_refs is not None:
+                corr = corr + kp * (p - p_refs[k])
+        else:
+            v6 = frame_velocity_lwa(model, q, v, fid, kin=kin)
+            corr = kd * v6
+            if p_refs is not None:
+                _, p = rbd.frame_placement(model, q, fid, kin=kin)
+                corr = corr + kp * jnp.concatenate(
+                    [p - p_refs[k], jnp.zeros(3, dtype)]
+                )
         Js.append(J)
         gammas.append(g + corr)
-    Jc = jnp.concatenate(Js, axis=0)  # (3*nc, nv)
+        act_rows.append(jnp.full((dim,), active[k], dtype))
+    Jc = jnp.concatenate(Js, axis=0)  # (Σdims, nv)
     gamma = jnp.concatenate(gammas, axis=0)
 
-    act = jnp.repeat(jnp.asarray(active, dtype), 3)
+    act = jnp.concatenate(act_rows)
     Jc = Jc * act[:, None]
     gamma = gamma * act
 
     cM = jax.scipy.linalg.cho_factor(M, lower=True)
-    MinvJt = jax.scipy.linalg.cho_solve(cM, Jc.T)  # (nv, 3nc)
+    MinvJt = jax.scipy.linalg.cho_solve(cM, Jc.T)  # (nv, Σdims)
     a_free = jax.scipy.linalg.cho_solve(cM, free)
 
     # Delassus operator with prox regularization; inactive rows reduce to
@@ -104,11 +146,15 @@ def constrained_fwd_dynamics(
     G = Jc @ MinvJt + prox_mu * jnp.eye(Jc.shape[0], dtype=dtype)
     rhs = Jc @ a_free + gamma
     cG = jax.scipy.linalg.cho_factor(0.5 * (G + G.T), lower=True)
-    lam = jax.scipy.linalg.cho_solve(cG, rhs)  # contact impulses (= -forces·?)
+    lam = jax.scipy.linalg.cho_solve(cG, rhs)
 
     a = a_free - MinvJt @ lam
-    forces = -lam.reshape((-1, 3)) * 1.0
-    return a, forces
+    return a, -lam
+
+
+def contact_offsets(contact_dims):
+    """Static start offsets of each contact's force block in the flat vector."""
+    return tuple(int(o) for o in np.cumsum((0,) + tuple(contact_dims))[:-1])
 
 
 @pytree_dataclass
@@ -116,13 +162,15 @@ class MultibodyConstraintFwdDynamics(ODE):
     """Phase-space ODE with contact-constrained accelerations.
 
     ``active`` is a data leaf: stack it over stages to encode a contact
-    schedule (e.g. flight phases in a jump).
+    schedule (e.g. flight phases in a jump, support switches in a walk).
+    ``contact_dims`` selects 3D point or 6D flat-foot contacts per frame.
     """
 
     model: rbd.RobotModel
     actuation: jax.Array  # (nv, nu)
     active: jax.Array  # (n_contacts,)
     contact_frames: tuple = static_field(default=())
+    contact_dims: tuple = static_field(default=None)
     prox_mu: float = static_field(default=1e-8)
     kd: float = static_field(default=1e-2)
 
@@ -139,8 +187,22 @@ class MultibodyConstraintFwdDynamics(ODE):
             self.active,
             prox_mu=self.prox_mu,
             kd=self.kd,
+            contact_dims=self.contact_dims,
         )
         return jnp.concatenate([v, a], axis=-1)
+
+
+def _contact_force(self, x, u):
+    nq = self.model.nq
+    q, v = x[..., :nq], x[..., nq:]
+    tau = self.actuation @ u
+    dims = self.contact_dims or (3,) * len(self.contact_frames)
+    _, forces = constrained_fwd_dynamics(
+        self.model, q, v, tau, self.contact_frames, self.active,
+        prox_mu=self.prox_mu, contact_dims=dims,
+    )
+    off = contact_offsets(dims)[self.contact_id]
+    return forces[off : off + dims[self.contact_id]]
 
 
 @pytree_dataclass
@@ -152,20 +214,14 @@ class ContactForceResidual:
     model: rbd.RobotModel
     actuation: jax.Array
     active: jax.Array
-    f_ref: jax.Array  # (3,)
+    f_ref: jax.Array  # (dim,)
     contact_frames: tuple = static_field(default=())
+    contact_dims: tuple = static_field(default=None)
     contact_id: int = static_field(default=0)
     prox_mu: float = static_field(default=1e-8)
 
     def value(self, space, x, u):
-        nq = self.model.nq
-        q, v = x[..., :nq], x[..., nq:]
-        tau = self.actuation @ u
-        _, forces = constrained_fwd_dynamics(
-            self.model, q, v, tau, self.contact_frames, self.active,
-            prox_mu=self.prox_mu,
-        )
-        return forces[self.contact_id] - self.f_ref
+        return _contact_force(self, x, u) - self.f_ref
 
     def jacobians(self, space, x, u):
         from ...core.functions import StageFunction
@@ -184,22 +240,65 @@ class MultibodyFrictionConeResidual:
     active: jax.Array
     mu_friction: jax.Array
     contact_frames: tuple = static_field(default=())
+    contact_dims: tuple = static_field(default=None)
     contact_id: int = static_field(default=0)
     prox_mu: float = static_field(default=1e-8)
 
     def value(self, space, x, u):
-        nq = self.model.nq
-        q, v = x[..., :nq], x[..., nq:]
-        tau = self.actuation @ u
-        _, forces = constrained_fwd_dynamics(
-            self.model, q, v, tau, self.contact_frames, self.active,
-            prox_mu=self.prox_mu,
-        )
-        f = forces[self.contact_id]
+        f = _contact_force(self, x, u)
         fx, fy, fz = f[0], f[1], f[2]
         m = self.mu_friction
         return jnp.stack(
             [-fz, fx - m * fz, -fx - m * fz, fy - m * fz, -fy - m * fz]
+        )
+
+    def jacobians(self, space, x, u):
+        from ...core.functions import StageFunction
+
+        return StageFunction.jacobians(self, space, x, u)
+
+
+@pytree_dataclass
+class MultibodyWrenchConeResidual:
+    """CoP/wrench-cone residual on a 6D contact (reference
+    ``modelling/multibody/multibody-wrench-cone.hpp:20``): linearized
+    friction pyramid on the force + center-of-pressure box from the torque,
+    for a rectangular foot of half-extents (hL, hW). r ≤ 0 inside the cone.
+
+    Rows (LOCAL_WORLD_ALIGNED wrench (f, τ) at the sole frame):
+      0: −fz ≤ 0
+      1-4: |fx|, |fy| ≤ μ fz
+      5-8: |τx| ≤ hW fz, |τy| ≤ hL fz
+    """
+
+    model: rbd.RobotModel
+    actuation: jax.Array
+    active: jax.Array
+    mu_friction: jax.Array
+    half_length: jax.Array
+    half_width: jax.Array
+    contact_frames: tuple = static_field(default=())
+    contact_dims: tuple = static_field(default=None)
+    contact_id: int = static_field(default=0)
+    prox_mu: float = static_field(default=1e-8)
+
+    def value(self, space, x, u):
+        w = _contact_force(self, x, u)  # (6,) for a 6D contact
+        fx, fy, fz = w[0], w[1], w[2]
+        tx, ty = w[3], w[4]
+        m, hl, hw = self.mu_friction, self.half_length, self.half_width
+        return jnp.stack(
+            [
+                -fz,
+                fx - m * fz,
+                -fx - m * fz,
+                fy - m * fz,
+                -fy - m * fz,
+                tx - hw * fz,
+                -tx - hw * fz,
+                ty - hl * fz,
+                -ty - hl * fz,
+            ]
         )
 
     def jacobians(self, space, x, u):

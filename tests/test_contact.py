@@ -26,7 +26,7 @@ def test_static_contact_force_balances_gravity():
     )
     # the center is pinned: no acceleration; contact force = m·g upward
     assert jnp.allclose(a[:3], 0.0, atol=1e-6)
-    assert jnp.allclose(forces[0], jnp.array([0.0, 0.0, 2.0 * 9.81]), atol=1e-5)
+    assert jnp.allclose(forces[:3], jnp.array([0.0, 0.0, 2.0 * 9.81]), atol=1e-5)
 
 
 def test_inactive_contact_is_free_fall():
@@ -72,3 +72,63 @@ def test_contact_dynamics_jit_vmap():
     accs = jax.vmap(fd)(qs, vs, taus, acts)
     assert accs.shape == (4, 2)
     assert bool(jnp.all(jnp.isfinite(accs)))
+
+
+def test_6d_contact_pins_frame():
+    """Humanoid with both soles in 6D contact, half-sitting: zero joint
+    acceleration of the pinned feet (spatial acceleration J6·a + γ = 0)."""
+    from aligator_tpu.modelling.multibody import model as rbd_mod
+    from aligator_tpu.modelling.multibody.contact import frame_velocity_lwa, _drift
+    from aligator_tpu.modelling.multibody.humanoid import (
+        actuation_matrix,
+        half_sitting,
+        make_humanoid,
+    )
+
+    model = make_humanoid()
+    q = half_sitting(model)
+    v = jax.random.normal(jax.random.PRNGKey(3), (model.nv,)) * 0.1
+    tau = jnp.zeros(model.nv)
+    fids = (model.frame_id("left_sole"), model.frame_id("right_sole"))
+    a, forces = constrained_fwd_dynamics(
+        model, q, v, tau, fids, jnp.array([1.0, 1.0]),
+        prox_mu=1e-10, contact_dims=(6, 6),
+    )
+    assert forces.shape == (12,)
+    for k, fid in enumerate(fids):
+        J6 = rbd_mod.frame_jacobian_lwa(model, q, fid)
+        g = _drift(model, q, v, fid, 6)
+        acc6 = J6 @ a + g
+        assert jnp.allclose(acc6, 0.0, atol=1e-5), acc6
+
+
+def test_6d_contact_newton_euler_balance():
+    """Newton–Euler identity: total contact force + gravity must equal the
+    time derivative of the robot's total linear momentum under the
+    contact-constrained accelerations."""
+    from aligator_tpu.modelling.multibody import model as rbd_mod
+    from aligator_tpu.modelling.multibody.humanoid import half_sitting, make_humanoid
+
+    model = make_humanoid()
+    cspace = model.configuration_space()
+    q = half_sitting(model)
+    v = jnp.zeros(model.nv)
+    fids = (model.frame_id("left_sole"), model.frame_id("right_sole"))
+    a, forces = constrained_fwd_dynamics(
+        model, q, v, jnp.zeros(model.nv), fids, jnp.array([1.0, 1.0]),
+        prox_mu=1e-10, contact_dims=(6, 6),
+    )
+
+    def linear_momentum(dq, vv):
+        qq = cspace.integrate(q, dq)
+        kin = rbd_mod.kinematics(model, qq, vv)
+        m, c_w, I_w = rbd_mod._world_inertia(model, kin["R"], kin["p"], q.dtype)
+        h = rbd_mod.inertia_apply(m, c_w, I_w, kin["V"])
+        return jnp.sum(h[:, :3], axis=0)
+
+    z = jnp.zeros(model.nv)
+    dP = jax.jvp(linear_momentum, (z, v), (v, a))[1]
+    total_mass = jnp.sum(model.mass)
+    f_lin = forces[:3] + forces[6:9]
+    residual = f_lin + total_mass * model.gravity - dP
+    assert jnp.allclose(residual, 0.0, atol=1e-6), residual
