@@ -3,6 +3,7 @@
 from .spaces.se2 import SE2, SO2
 from .spaces.se3 import SE3, SO3
 from .dynamics.ode import (
+    ContinuousDynamics,
     ODE,
     IntegratorEuler,
     IntegratorMidpoint,
@@ -18,6 +19,7 @@ __all__ = [
     "SO2",
     "SE3",
     "SO3",
+    "ContinuousDynamics",
     "ODE",
     "LinearODE",
     "IntegratorEuler",

@@ -20,11 +20,29 @@ from ...core.dynamics import ExplicitDynamics
 from ...core.manifolds import Manifold, TangentBundle
 
 
-class ODE:
-    """Continuous dynamics ẋ = f(x, u) in tangent coordinates."""
+class ContinuousDynamics:
+    """Implicit continuous dynamics (DAE) ``r(x, u, ẋ) = 0`` (reference
+    ``ContinuousDynamicsAbstractTpl``,
+    ``modelling/dynamics/continuous-dynamics-abstract.hpp:19``).
+
+    The general DAE surface: an ODE is the special case
+    ``r = ẋ - f(x, u)``. Implicit integrators (e.g.
+    :class:`IntegratorMidpoint`) consume the residual form directly.
+    """
+
+    def residual(self, space: Manifold, x, u, xdot):
+        raise NotImplementedError
+
+
+class ODE(ContinuousDynamics):
+    """Continuous dynamics ẋ = f(x, u) in tangent coordinates (reference
+    ``ODEAbstractTpl``, ``modelling/dynamics/ode-abstract.hpp:15``)."""
 
     def xdot(self, space: Manifold, x, u):
         raise NotImplementedError
+
+    def residual(self, space, x, u, xdot):
+        return xdot - self.xdot(space, x, u)
 
 
 @pytree_dataclass

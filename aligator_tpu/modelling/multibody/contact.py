@@ -157,6 +157,40 @@ def contact_offsets(contact_dims):
     return tuple(int(o) for o in np.cumsum((0,) + tuple(contact_dims))[:-1])
 
 
+def underactuated_constrained_rnea(
+    model, q, v, act_matrix, contact_frames, contact_dims=None
+):
+    """Static inverse dynamics under contacts for an underactuated robot.
+
+    Least-squares solve of ``[B, -Jcᵀ]·[u; f] = nle(q, v)`` — the torque and
+    world-aligned contact forces that hold the robot at (q, v) with zero
+    acceleration. Used to warm-start whole-body OCPs (reference
+    ``underactuatedConstrainedInverseDynamics``,
+    ``modelling/multibody/constrained-rnea.hpp:22-61``; called by
+    ``examples/talos_walk.py``).
+
+    Returns ``(u, forces)`` with ``forces`` the flat (Σdims,) vector, the
+    same convention as :func:`constrained_fwd_dynamics`.
+    """
+    dtype = q.dtype
+    if contact_dims is None:
+        contact_dims = (3,) * len(contact_frames)
+    nu = act_matrix.shape[1]
+
+    nle = rbd.rnea(model, q, v, jnp.zeros((model.nv,), dtype))
+
+    kin = rbd.kinematics(model, q, v)
+    Js = [
+        rbd.frame_jacobian_lwa(model, q, fid, kin=kin)[:dim]
+        for fid, dim in zip(contact_frames, contact_dims)
+    ]
+    Jc = jnp.concatenate(Js, axis=0)  # (Σdims, nv)
+
+    work = jnp.concatenate([act_matrix, -Jc.T], axis=1)  # (nv, nu+Σdims)
+    sol = jnp.linalg.lstsq(work, nle)[0]
+    return sol[:nu], sol[nu:]
+
+
 @pytree_dataclass
 class MultibodyConstraintFwdDynamics(ODE):
     """Phase-space ODE with contact-constrained accelerations.

@@ -10,6 +10,7 @@ kinematic/inertial parameters of the UR5 (role of the reference's
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .model import FREEFLYER, REVOLUTE, RobotModel, make_model
 
@@ -143,6 +144,102 @@ def make_ur5() -> RobotModel:
         ),
     ]
     return make_model(joints, frames)
+
+
+def make_panda() -> RobotModel:
+    """Franka Emika Panda-like 7-DOF arm from the publicly documented
+    nominal kinematics (franka_description URDF joint origins, all joint
+    axes +z in the child frame) and the published identified link masses /
+    CoM offsets (Gaz et al. 2019); rotational inertias are simplified
+    cylinder-scale values. Role of the reference's Panda example model
+    (``examples/panda_mujoco_test_se3_collision.py``, loaded there via
+    MuJoCo/example-robot-data)."""
+    half_pi = jnp.pi / 2
+    z = jnp.array([0.0, 0.0, 1.0])
+
+    def inert(m, s=0.06):
+        # solid-cylinder-scale inertia about the CoM
+        return m * jnp.diag(jnp.array([s * s, s * s, 0.5 * s * s]))
+
+    joints = [
+        # joint1: link0 -> link1, origin z=0.333
+        dict(
+            type=REVOLUTE, parent=-1,
+            placement_p=jnp.array([0.0, 0.0, 0.333]),
+            axis=z, mass=4.970684,
+            com=jnp.array([0.003875, 0.002081, -0.04762]),
+            inertia=inert(4.970684, 0.08),
+        ),
+        # joint2: rpy=(-pi/2,0,0)
+        dict(
+            type=REVOLUTE, parent=0,
+            placement_q=_rpy_quat(-half_pi, 0.0, 0.0),
+            axis=z, mass=0.646926,
+            com=jnp.array([-0.003141, -0.02872, 0.003495]),
+            inertia=inert(0.646926, 0.07),
+        ),
+        # joint3: xyz=(0,-0.316,0), rpy=(pi/2,0,0)
+        dict(
+            type=REVOLUTE, parent=1,
+            placement_p=jnp.array([0.0, -0.316, 0.0]),
+            placement_q=_rpy_quat(half_pi, 0.0, 0.0),
+            axis=z, mass=3.228604,
+            com=jnp.array([0.027518, 0.039252, -0.066502]),
+            inertia=inert(3.228604, 0.07),
+        ),
+        # joint4: xyz=(0.0825,0,0), rpy=(pi/2,0,0)
+        dict(
+            type=REVOLUTE, parent=2,
+            placement_p=jnp.array([0.0825, 0.0, 0.0]),
+            placement_q=_rpy_quat(half_pi, 0.0, 0.0),
+            axis=z, mass=3.587895,
+            com=jnp.array([-0.05317, 0.104419, 0.027454]),
+            inertia=inert(3.587895, 0.07),
+        ),
+        # joint5: xyz=(-0.0825,0.384,0), rpy=(-pi/2,0,0)
+        dict(
+            type=REVOLUTE, parent=3,
+            placement_p=jnp.array([-0.0825, 0.384, 0.0]),
+            placement_q=_rpy_quat(-half_pi, 0.0, 0.0),
+            axis=z, mass=1.225946,
+            com=jnp.array([-0.011953, 0.041065, -0.038437]),
+            inertia=inert(1.225946, 0.06),
+        ),
+        # joint6: rpy=(pi/2,0,0)
+        dict(
+            type=REVOLUTE, parent=4,
+            placement_q=_rpy_quat(half_pi, 0.0, 0.0),
+            axis=z, mass=1.666555,
+            com=jnp.array([0.060149, -0.014117, -0.010517]),
+            inertia=inert(1.666555, 0.06),
+        ),
+        # joint7: xyz=(0.088,0,0), rpy=(pi/2,0,0)
+        dict(
+            type=REVOLUTE, parent=5,
+            placement_p=jnp.array([0.088, 0.0, 0.0]),
+            placement_q=_rpy_quat(half_pi, 0.0, 0.0),
+            axis=z, mass=0.735522,
+            com=jnp.array([0.010517, -0.004252, 0.061597]),
+            inertia=inert(0.735522, 0.05),
+        ),
+    ]
+    frames = [
+        # flange ("panda_link8" / attachment frame): z offset 0.107 from j7
+        dict(name="ee", parent=6, placement_p=jnp.array([0.0, 0.0, 0.107])),
+        dict(name="elbow", parent=3),
+    ]
+    return make_model(joints, frames)
+
+
+# numpy (not jnp) so importing the module never initializes a jax backend
+PANDA_Q_HOME = np.array([0.0, -0.785398, 0.0, -2.356194, 0.0, 1.570796, 0.785398])
+PANDA_EFFORT_LIMIT = np.array([87.0, 87.0, 87.0, 87.0, 12.0, 12.0, 12.0])
+PANDA_Q_LOWER = np.array(
+    [-2.8973, -1.7628, -2.8973, -3.0718, -2.8973, -0.0175, -2.8973]
+)
+PANDA_Q_UPPER = np.array(
+    [2.8973, 1.7628, 2.8973, -0.0698, 2.8973, 3.7525, 2.8973]
+)
 
 
 def make_free_sphere(mass=1.0, radius=0.2) -> RobotModel:

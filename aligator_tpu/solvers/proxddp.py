@@ -30,13 +30,14 @@ Key correspondences to the reference implementation:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from .._pytree import pytree_dataclass, replace
+from ..utils import logger as logger_mod
 from ..core import problem as problem_mod
 from ..core.manifolds import VectorSpace
 from ..core.problem import ProblemData, TrajOptProblem
@@ -124,6 +125,14 @@ class ProxDDPConfig:
     # additionally record full xs/us iterate traces per iteration (reference
     # HistoryCallback with store_primal=true, core/history-callback.hpp:36-47)
     record_history_trajs: bool = False
+    # in-jit observability (reference Logger rows, utils/logger.hpp:22-28,
+    # driven per inner iteration solver-proxddp.hxx:708-721, and the callback
+    # registry solver-proxddp.hpp:281-309): verbose=True prints a columnar
+    # trace row per iteration via ``jax.debug.callback`` (works inside jit;
+    # under vmap one row per batch element). ``callback`` is a host Python
+    # callable receiving a dict of scalar traces per iteration.
+    verbose: bool = False
+    callback: Optional[Callable[[dict], None]] = None
     # initial BCL tolerances
     inner_tol0: float = 1.0
     prim_tol0: float = 1.0
@@ -152,8 +161,9 @@ class ProxDDPResults:
     # control feedback gains of the last LQ solve (for MPC)
     K: Optional[jax.Array] = None  # (N, nu, ndx)
     kff: Optional[jax.Array] = None  # (N, nu)
-    # per-iteration traces [prim, dual, inner_crit, cost, merit, mu, al_iter]
-    history: Optional[jax.Array] = None  # (max_iters, 7)
+    # per-iteration traces
+    # [prim, dual, inner_crit, cost, merit, mu, al_iter, alpha]
+    history: Optional[jax.Array] = None  # (max_iters, 8)
     # full iterate traces (record_history_trajs)
     history_xs: Optional[jax.Array] = None  # (max_iters, N+1, nx)
     history_us: Optional[jax.Array] = None  # (max_iters, N, nu)
@@ -189,7 +199,8 @@ class _State:
     filter_valid: jax.Array  # (F,) bool
     K: jax.Array
     kff: jax.Array
-    history: jax.Array  # (max_iters, 7) or (0, 7)
+    alpha_last: jax.Array  # accepted step length of the last Newton step
+    history: jax.Array  # (max_iters, 8) or (0, 8)
     hist_xs: jax.Array  # (max_iters, N+1, nx) or (0, ...)
     hist_us: jax.Array  # (max_iters, N, nu) or (0, ...)
 
@@ -558,8 +569,9 @@ def solve(
         ls_avg_weight=jnp.asarray(0.0, dtype),
         filter_vals=jnp.zeros((cfg.filter_size, 2), dtype),
         filter_valid=jnp.zeros((cfg.filter_size,), bool),
+        alpha_last=jnp.asarray(0.0, dtype),
         history=jnp.zeros(
-            (cfg.max_iters if cfg.record_history else 0, 7), dtype
+            (cfg.max_iters if cfg.record_history else 0, 8), dtype
         ),
         hist_xs=jnp.zeros(
             (cfg.max_iters if cfg.record_history_trajs else 0, N + 1)
@@ -887,6 +899,7 @@ def solve(
             merit=jnp.where(trial_ok, phi, st.merit),
             K=gain_K,
             kff=gain_kff,
+            alpha_last=alpha,
         )
 
         # regularization schedule (solver-proxddp.hpp:349-366): on linesearch
@@ -936,10 +949,36 @@ def solve(
             row = jnp.stack(
                 [
                     prim, dual, crit, data.cost, st.merit, st.mu,
-                    st.al_iter.astype(dtype),
+                    st.al_iter.astype(dtype), st.alpha_last,
                 ]
             )
             st = replace(st, history=st.history.at[st.iter].set(row))
+        if cfg.verbose or cfg.callback is not None:
+            # per-iteration trace row from inside jit (reference logs each
+            # inner iteration, solver-proxddp.hxx:708-721, and invokes the
+            # registered callbacks, solver-proxddp.hpp:281-309)
+            def _emit(it, al, alpha, prim_e, dual_e, crit_e, cost_e, merit_e,
+                      mu_e):
+                trace = {
+                    "iter": int(it) + 1,
+                    "al_iter": int(al) + 1,
+                    "alpha": float(alpha),
+                    "prim_err": float(prim_e),
+                    "dual_err": float(dual_e),
+                    "inner_crit": float(crit_e),
+                    "cost": float(cost_e),
+                    "merit": float(merit_e),
+                    "mu": float(mu_e),
+                }
+                if cfg.verbose:
+                    logger_mod.log_row(trace, header=trace["iter"] == 1)
+                if cfg.callback is not None:
+                    cfg.callback(trace)
+
+            jax.debug.callback(
+                _emit, st.iter, st.al_iter, st.alpha_last, prim, dual, crit,
+                data.cost, st.merit, st.mu,
+            )
         if cfg.record_history_trajs:
             st = replace(
                 st,

@@ -1,11 +1,12 @@
 """utils — rollout, MPC cycling, logging, plotting."""
 
-from .logger import Logger, print_history
+from .logger import Logger, log_row, print_history
 from .mpc import cycle_problem, cycle_warm_start, roll_left
 from .rollout import closed_loop_rollout, rollout
 
 __all__ = [
     "Logger",
+    "log_row",
     "print_history",
     "cycle_problem",
     "cycle_warm_start",

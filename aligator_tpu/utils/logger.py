@@ -48,28 +48,51 @@ class Logger:
         print("Successfully converged." if conv else "Convergence failure.")
 
 
+_ROW_KEYS = (
+    ("iter", "{:>5d}"),
+    ("al_iter", "{:>7d}"),
+    ("alpha", "{:>9.2e}"),
+    ("prim_err", "{:>10.3e}"),
+    ("dual_err", "{:>10.3e}"),
+    ("inner_crit", "{:>10.3e}"),
+    ("cost", "{:>11.4e}"),
+    ("merit", "{:>11.4e}"),
+    ("mu", "{:>9.2e}"),
+)
+
+
+def log_row(trace: dict, header: bool = False):
+    """Print one columnar trace row (reference Logger row format,
+    ``utils/logger.hpp:22-56``); used by the in-jit ``verbose`` path of the
+    solvers via ``jax.debug.callback``."""
+    if header:
+        print(" | ".join(f"{name:>10s}" for name, _ in _ROW_KEYS))
+    cells = []
+    for name, fmt in _ROW_KEYS:
+        v = trace.get(name)
+        cells.append(fmt.format(v) if v is not None else " " * 10)
+    print(" | ".join(cells))
+
+
 def print_history(history, num_iters=None):
     """Pretty-print a ProxDDP history array
-    [prim, dual, inner_crit, cost, merit, mu, al_iter]."""
+    [prim, dual, inner_crit, cost, merit, mu, al_iter, alpha]."""
     import numpy as np
 
     h = np.asarray(history)
     n = int(num_iters) if num_iters is not None else h.shape[0]
-    log = Logger()
-    for name in ("iter", "prim_err", "dual_err", "inner_crit", "cost", "merit", "mu", "aliter"):
-        fmt = "{:>5d}" if name in ("iter", "aliter") else (
-            "{:>11.4e}" if name in ("cost", "merit") else "{:>10.3e}"
-        )
-        log.add_column(name, fmt)
-    log.print_headline()
     for i in range(min(n, h.shape[0])):
-        log.log(
-            iter=i + 1,
-            prim_err=h[i, 0],
-            dual_err=h[i, 1],
-            inner_crit=h[i, 2],
-            cost=h[i, 3],
-            merit=h[i, 4],
-            mu=h[i, 5],
-            aliter=int(h[i, 6]) + 1,
+        log_row(
+            {
+                "iter": i + 1,
+                "al_iter": int(h[i, 6]) + 1,
+                "alpha": float(h[i, 7]) if h.shape[1] > 7 else None,
+                "prim_err": h[i, 0],
+                "dual_err": h[i, 1],
+                "inner_crit": h[i, 2],
+                "cost": h[i, 3],
+                "merit": h[i, 4],
+                "mu": h[i, 5],
+            },
+            header=(i == 0),
         )

@@ -50,15 +50,38 @@ def cycle_problem(
     return replace(problem, **kw)
 
 
-def cycle_warm_start(xs, us, vs=None, lams=None, space=None):
+def cycle_warm_start(xs, us, vs=None, lams=None, space=None, problem=None):
     """Rotate a previous solution one step left for warm-starting the next
     MPC solve (results/workspace cycleAppend). The final entries duplicate
-    the previous last values."""
+    the previous last values.
+
+    If ``problem`` is given, the tail of the shifted trajectory is repaired
+    instead of duplicated: the new terminal state is rolled out through the
+    last stage's dynamics (keeping the warm start dynamics-feasible) and the
+    terminal costate is refreshed to the terminal-cost gradient there. With
+    small ALM penalties (the reference MPC protocol runs mu_init=1e-8,
+    tests/mpc-cycle.cpp:166) a tail gap or stale costate is amplified by
+    1/mudyn and costs several Newton iterations to heal.
+    """
     xs_w = roll_left(xs, new_last=xs[-1])
     us_w = roll_left(us, new_last=us[-1])
+    x_tail = None
+    if problem is not None:
+        sp = problem.space if space is None else space
+        stage_last = problem.stage_at(problem.nsteps - 1)
+        x_tail = stage_last.dynamics.forward(sp, xs_w[-2], us_w[-1])
+        xs_w = xs_w.at[-1].set(x_tail)
     out = [xs_w, us_w]
     if vs is not None:
         out.append(roll_left(vs, new_last=vs[-1]))
     if lams is not None:
-        out.append(roll_left(lams, new_last=lams[-1]))
+        lams_w = roll_left(lams, new_last=lams[-1])
+        if x_tail is not None:
+            # at the solution the terminal costate equals the terminal-cost
+            # gradient; a stale duplicate leaves an O(|Δx_N|) dual error
+            sp = problem.space if space is None else space
+            u0 = jnp.zeros_like(us_w[-1])
+            tLx, _ = problem.term_cost.gradients(sp, x_tail, u0)
+            lams_w = lams_w.at[-1].set(tLx)
+        out.append(lams_w)
     return tuple(out)

@@ -7,7 +7,17 @@ max_iters = 4, LINEAR rollout — but batched over thousands of scenarios
 
 Prints ONE JSON line:
   {"metric": "se2car_solves_per_sec", "value": N, "unit": "solves/s",
-   "vs_baseline": ratio}
+   "vs_baseline": ratio, ...extras}
+
+Extras in the same line:
+  * ``humanoid_solves_per_sec`` — ProxDDP at humanoid dims (nx=36, nu=12,
+    N=100, control bounds; the dims of the reference gar bench
+    ``bench/gar-riccati.cpp:18``), batch 1024.
+  * ``gar_scan_achieved_gbps`` / ``gar_scan_peak_frac`` — measured HBM
+    bandwidth of the XLA-scan Riccati solve at the se2-car LQ shape
+    (analytic byte accounting: knots read once, factors written + read,
+    outputs written, carry round-trips), vs the 819 GB/s v5e peak. This is
+    the roofline evidence that the scan path is memory-bound.
 
 Baseline: the north-star target is 10,000 solves/s on a v5e-64 slice
 (BASELINE.md) → 156.25 solves/s/chip; vs_baseline = value / 156.25.
@@ -19,14 +29,144 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 sys.path.insert(0, ".")
 
-from aligator_tpu import solvers  # noqa: E402
+from aligator_tpu import core, solvers  # noqa: E402
 from aligator_tpu._pytree import replace  # noqa: E402
+from aligator_tpu.gar import lqr_problem as gar  # noqa: E402
+from aligator_tpu.gar import riccati  # noqa: E402
 from examples.se2_car import create_se2_problem  # noqa: E402
 
 BASELINE_SOLVES_PER_SEC_PER_CHIP = 10_000 / 64.0
+V5E_HBM_PEAK_GBPS = 819.0
+
+
+def _tree_bytes(tree):
+    return sum(
+        int(np.prod(l.shape)) * l.dtype.itemsize for l in jax.tree.leaves(tree)
+    )
+
+
+def bench_gar_roofline(batch=8192, N=50, nx=4, nu=2, nc=2, n_rep=5):
+    """Measured HBM bandwidth of the batched XLA-scan Riccati solve."""
+    dtype = jnp.float32
+    keys = jax.random.split(jax.random.PRNGKey(7), batch)
+    probs = jax.vmap(
+        lambda k: gar.random_problem(k, N, nx, nu, nc, dtype=dtype)
+    )(keys)
+
+    m_inner = 10  # amortize the tunnel's per-dispatch latency
+
+    @jax.jit
+    def run(probs):
+        # m_inner back-to-back solves inside ONE dispatch; the input is
+        # perturbed per repeat (data dependence prevents loop hoisting).
+        def body(i, acc):
+            p_i = replace(
+                probs,
+                knots=replace(
+                    probs.knots,
+                    q=probs.knots.q + (acc[..., None] * 0.0 + i * 1e-6),
+                ),
+            )
+            xs, us, vs, lams = jax.vmap(
+                lambda p: riccati.solve(p, 1e-3, 1e-3, True)
+            )(p_i)
+            return acc + xs[:, 0]
+
+        return jax.lax.fori_loop(
+            0, m_inner, body, jnp.zeros((batch, nx), dtype)
+        )
+
+    out = run(probs)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = run(probs)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_rep / m_inner
+    out = jax.vmap(lambda p: riccati.solve(p, 1e-3, 1e-3, True))(probs)
+
+    factors = jax.eval_shape(
+        lambda p: jax.vmap(
+            lambda q: riccati.backward(q, 1e-3, 1e-3, True)
+        )(p),
+        probs,
+    )
+    # knots read once; factors written (backward) + read (forward); outputs
+    # written once; backward carry (P, p) round-trips HBM once per stage.
+    nbytes = (
+        _tree_bytes(probs)
+        + 2 * _tree_bytes(factors)
+        + _tree_bytes(out)
+        + 2 * batch * (N + 1) * (nx * nx + nx) * 4
+    )
+    gbps = nbytes / dt / 1e9
+    return gbps
+
+
+def make_humanoid_dims_problem(nsteps=100, dtype=jnp.float32):
+    """ProxDDP problem at humanoid dims (nx=36, nu=12): an 18-DoF
+    double-integrator chain with a 6-DoF unactuated (floating-base-like)
+    block and control bounds."""
+    nq = 18
+    nx, nu = 2 * nq, 12
+    dt_ = 0.02
+    I = jnp.eye(nq, dtype=dtype)
+    A = jnp.block([[I, dt_ * I], [jnp.zeros((nq, nq), dtype), I]])
+    Bv = jnp.concatenate([jnp.zeros((6, nu), dtype), jnp.eye(nu, dtype=dtype)])
+    B = jnp.concatenate([jnp.zeros((nq, nu), dtype), dt_ * Bv])
+    space = core.VectorSpace(nx)
+    dyn = core.LinearDiscreteDynamics(A=A, B=B, c=jnp.zeros((nx,), dtype))
+    cost = core.QuadraticCost.create(
+        0.01 * jnp.eye(nx, dtype=dtype), 0.001 * jnp.eye(nu, dtype=dtype)
+    )
+    term_cost = core.QuadraticCost.create(
+        10.0 * jnp.eye(nx, dtype=dtype), jnp.zeros((nu, nu), dtype)
+    )
+    constraints = (
+        (
+            core.ControlErrorResidual(target=jnp.zeros((nu,), dtype)),
+            core.BoxConstraint(
+                lower=-2.0 * jnp.ones((nu,), dtype),
+                upper=2.0 * jnp.ones((nu,), dtype),
+            ),
+        ),
+    )
+    stage = core.make_stage(cost, dyn, space, nu, constraints)
+    x0 = jnp.zeros((nx,), dtype).at[0].set(0.5)
+    return core.make_problem(x0, stage, nsteps, term_cost)
+
+
+def bench_humanoid(batch=1024, n_rep=3):
+    dtype = jnp.float32
+    problem = make_humanoid_dims_problem(nsteps=100, dtype=dtype)
+    cfg = solvers.ProxDDPConfig(
+        tol=1e-3, mu_init=1e-3, max_iters=4, max_al_iters=4,
+        rollout="linear", ls_max_steps=6,
+    )
+    x0s = problem.x0 + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(3), (batch, problem.x0.shape[0]), dtype
+    )
+
+    @jax.jit
+    def solve_batch(x0s):
+        def one(x0):
+            res = solvers.solve(replace(problem, x0=x0), cfg)
+            return res.us, res.prim_infeas
+
+        return jax.vmap(one)(x0s)
+
+    us, _ = solve_batch(x0s)
+    us.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        us, _ = solve_batch(x0s)
+    us.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_rep
+    return batch / dt
 
 
 def main():
@@ -82,11 +222,17 @@ def main():
     dt_per_batch = (t1 - t0) / n_rep
     solves_per_sec = batch / dt_per_batch
 
+    humanoid_sps = bench_humanoid()
+    gar_gbps = bench_gar_roofline()
+
     out = {
         "metric": "se2car_solves_per_sec",
         "value": round(solves_per_sec, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC_PER_CHIP, 3),
+        "humanoid_solves_per_sec": round(humanoid_sps, 2),
+        "gar_scan_achieved_gbps": round(gar_gbps, 1),
+        "gar_scan_peak_frac": round(gar_gbps / V5E_HBM_PEAK_GBPS, 3),
     }
     print(json.dumps(out))
 

@@ -102,6 +102,45 @@ def test_6d_contact_pins_frame():
         assert jnp.allclose(acc6, 0.0, atol=1e-5), acc6
 
 
+def test_underactuated_constrained_rnea():
+    """Static inverse dynamics (reference constrained-rnea.hpp:22): the
+    (u, f) returned must balance the bias forces exactly — zero residual in
+    the underactuated rows too — and support the robot's weight."""
+    from aligator_tpu.modelling.multibody import model as rbd_mod
+    from aligator_tpu.modelling.multibody.contact import (
+        underactuated_constrained_rnea,
+    )
+    from aligator_tpu.modelling.multibody.humanoid import (
+        actuation_matrix,
+        half_sitting,
+        make_humanoid,
+    )
+
+    model = make_humanoid()
+    q = half_sitting(model)
+    v = jnp.zeros(model.nv)
+    B = actuation_matrix(model)
+    fids = (model.frame_id("left_sole"), model.frame_id("right_sole"))
+    u, forces = underactuated_constrained_rnea(
+        model, q, v, B, fids, contact_dims=(6, 6)
+    )
+    assert u.shape == (B.shape[1],)
+    assert forces.shape == (12,)
+
+    nle = rbd_mod.rnea(model, q, v, jnp.zeros(model.nv))
+    Jl = rbd_mod.frame_jacobian_lwa(model, q, fids[0])
+    Jr = rbd_mod.frame_jacobian_lwa(model, q, fids[1])
+    Jc = jnp.concatenate([Jl, Jr], axis=0)
+    residual = B @ u - Jc.T @ forces - nle
+    assert jnp.allclose(residual, 0.0, atol=1e-8), residual
+
+    # feet carry the weight: total vertical force = m·g (sign: forces are
+    # what the constraint applies on the robot in the lstsq convention)
+    total_fz = forces[2] + forces[8]
+    weight = float(jnp.sum(model.mass) * 9.81)
+    assert abs(abs(float(total_fz)) - weight) < 1e-6 * weight
+
+
 def test_6d_contact_newton_euler_balance():
     """Newton–Euler identity: total contact force + gravity must equal the
     time derivative of the robot's total linear momentum under the

@@ -186,3 +186,25 @@ def test_vmap_batched_dynamics():
     accs = jax.vmap(lambda q, v, t: rbd.aba(model, q, v, t))(qs, vs, taus)
     assert accs.shape == (8, 6)
     assert bool(jnp.all(jnp.isfinite(accs)))
+
+
+def test_panda_model():
+    """Panda: documented home ('ready') flange pose + RBD identities."""
+    from aligator_tpu.modelling.multibody.robots import PANDA_Q_HOME, make_panda
+
+    model = make_panda()
+    assert model.nq == model.nv == 7
+    # flange position at the ready pose (public franka kinematics:
+    # x = 0.088 + 0.0825·… → 0.307, z = 0.59 without the hand)
+    _, p = rbd.frame_placement(model, PANDA_Q_HOME, model.frame_id("ee"))
+    assert jnp.allclose(p, jnp.array([0.3069, 0.0, 0.5903]), atol=1e-3), p
+
+    key = jax.random.PRNGKey(4)
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = 0.5 * jax.random.normal(k1, (7,))
+    v = jax.random.normal(k2, (7,))
+    a = jax.random.normal(k3, (7,))
+    tau = rbd.rnea(model, q, v, a)
+    assert jnp.allclose(rbd.aba(model, q, v, tau), a, atol=1e-8)
+    M = rbd.mass_matrix(model, q)
+    assert float(jnp.linalg.eigvalsh(M).min()) > 0.0

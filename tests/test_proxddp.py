@@ -322,3 +322,28 @@ def test_rollout_newton_iters_midpoint():
     )
     assert bool(r_lin.conv) and bool(r_nl.conv)
     assert float(jnp.max(jnp.abs(r_lin.us - r_nl.us))) < 1e-7
+
+
+def test_no_retrace_across_calls():
+    """JAX analog of the reference's nomalloc guard (tests/nomalloc.cpp:7,
+    CHECK_RUNTIME_MALLOC): the jitted solve must not re-trace or re-compile
+    when called again with different VALUES of the same shapes — retraces
+    are the TPU equivalent of per-iteration heap allocation."""
+    problem = make_lqr(nsteps=10, u_bound=0.4)
+    cfg = solvers.ProxDDPConfig(tol=1e-6, max_iters=20)
+
+    n_trace = 0
+
+    @jax.jit
+    def run(p):
+        nonlocal n_trace
+        n_trace += 1
+        return solvers.solve(p, cfg)
+
+    from aligator_tpu._pytree import replace as _replace
+
+    r1 = run(problem)
+    r2 = run(_replace(problem, x0=jnp.array([-0.3, 0.8], jnp.float64)))
+    assert bool(r1.conv) and bool(r2.conv)
+    assert n_trace == 1
+    assert run._cache_size() == 1
