@@ -68,7 +68,7 @@ def bench_gar_roofline(batch=8192, N=50, nx=4, nu=2, nc=2, n_rep=5):
                 probs,
                 knots=replace(
                     probs.knots,
-                    q=probs.knots.q + (acc[..., None] * 0.0 + i * 1e-6),
+                    q=probs.knots.q + (acc[:, None, :] * 0.0 + i * 1e-6),
                 ),
             )
             xs, us, vs, lams = jax.vmap(
