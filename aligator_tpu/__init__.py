@@ -22,6 +22,17 @@ Layers (bottom-up), mirroring the reference's architecture
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Riccati recursions on μ-scaled (ill-conditioned) KKT blocks are not stable
+# under the TPU's default bf16 matmul passes: at the bench shapes ~23% of
+# fp32 solves go non-finite with the default precision and 0% with fp32
+# accumulation (measured on v5e). The matrices in the hot path are tiny
+# (nx ≤ ~40), so full-precision passes cost nothing; large NN-style matmuls
+# are not this library's workload. Respect an explicit user setting.
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from . import gar
 
 __all__ = ["gar", "__version__"]

@@ -74,7 +74,9 @@ def bench_gar_roofline(batch=8192, N=50, nx=4, nu=2, nc=2, n_rep=5):
             xs, us, vs, lams = jax.vmap(
                 lambda p: riccati.solve(p, 1e-3, 1e-3, True)
             )(p_i)
-            return acc + xs[:, 0]
+            # consume every output so no sweep is dead-code-eliminated
+            extra = us.sum() + vs.sum() + lams.sum()
+            return acc + xs.mean(axis=1) + extra * jnp.float32(1e-20)
 
         return jax.lax.fori_loop(
             0, m_inner, body, jnp.zeros((batch, nx), dtype)
@@ -203,19 +205,25 @@ def main():
     def solve_batch(x0s):
         def one(x0):
             res = solvers.solve(replace(problem, x0=x0), cfg)
-            return res.us, res.prim_infeas
+            return res.us, res.prim_infeas, res.dual_infeas
 
         return jax.vmap(one)(x0s)
 
     # compile
-    us, prim = solve_batch(x0s)
+    us, prim, dual = solve_batch(x0s)
     us.block_until_ready()
+    # solution-quality audit on the real chip: every solve must be finite
+    # and at the protocol tolerance (guards against low-precision matmul
+    # regressions that only show on TPU hardware)
+    finite = np.isfinite(np.asarray(us)).all(axis=(1, 2))
+    conv = finite & (np.asarray(prim) <= cfg.tol) & (np.asarray(dual) <= cfg.tol)
+    frac_conv = float(conv.mean())
 
     # timed runs
     n_rep = 5
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        us, prim = solve_batch(x0s)
+        us, prim, dual = solve_batch(x0s)
     us.block_until_ready()
     t1 = time.perf_counter()
 
@@ -230,6 +238,7 @@ def main():
         "value": round(solves_per_sec, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC_PER_CHIP, 3),
+        "frac_converged": round(frac_conv, 4),
         "humanoid_solves_per_sec": round(humanoid_sps, 2),
         "gar_scan_achieved_gbps": round(gar_gbps, 1),
         "gar_scan_peak_frac": round(gar_gbps / V5E_HBM_PEAK_GBPS, 3),
