@@ -421,6 +421,81 @@ def solve(problem: LQRProblem, mudyn, mueq, assume_explicit: bool = False,
     return forward(factors, theta=theta)
 
 
+_GAIN_FIELDS = ("kff", "K", "zff", "Z", "lff", "L", "yff", "Afb")
+
+
+def _make_solve_and_gains(assume_explicit: bool):
+    def scan_path(problem: LQRProblem, mudyn, mueq):
+        factors = backward(problem, mudyn, mueq, assume_explicit)
+        xs, us, vs, lams = forward(factors)
+        gains = {k: getattr(factors, k) for k in _GAIN_FIELDS}
+        return xs, us, vs, lams, gains
+
+    @jax.custom_batching.custom_vmap
+    def fn(problem: LQRProblem, mudyn, mueq):
+        return scan_path(problem, mudyn, mueq)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, problem, mudyn, mueq):
+        from . import pallas_riccati
+
+        # broadcast unbatched leaves so every leaf carries the batch axis
+        def bcast(leaf, is_b):
+            leaf = jnp.asarray(leaf)
+            return leaf if is_b else jnp.broadcast_to(
+                leaf[None], (axis_size,) + leaf.shape
+            )
+
+        probs_b, mudyn_b, mueq_b = jax.tree.map(
+            bcast, [problem, mudyn, mueq], in_batched
+        )
+
+        kn = probs_b.knots
+        eligible = (
+            jax.default_backend() == "tpu"
+            and kn.Q.dtype == jnp.float32
+            and axis_size % pallas_riccati.LANES == 0
+            and kn.Q.ndim == 4  # exactly one batch axis (no nested vmap)
+            and pallas_riccati.available(probs_b)
+        )
+        if eligible:
+            out = pallas_riccati.solve(
+                probs_b, mudyn_b, mueq_b, return_gains=True,
+                assume_explicit=assume_explicit,
+            )
+        else:
+            out = jax.vmap(scan_path)(probs_b, mudyn_b, mueq_b)
+        out_batched = jax.tree.map(lambda _: True, out)
+        return out, out_batched
+
+    return fn
+
+
+_SOLVE_AND_GAINS = {
+    True: _make_solve_and_gains(True),
+    False: _make_solve_and_gains(False),
+}
+
+
+def solve_and_gains(problem: LQRProblem, mudyn, mueq,
+                    assume_explicit: bool = True):
+    """Solve + per-stage gains, with a TPU fused-kernel fast path under vmap.
+
+    Unbatched, this is ``backward`` + ``forward`` (the XLA scan path). Under
+    ``vmap`` — the batched-MPC execution model — the whole batch is
+    dispatched to the fused Pallas kernel (``pallas_riccati``) when
+    eligible: TPU backend, fp32, batch a multiple of 128, small dims, no
+    θ-block. This is the mechanism that lets ``jax.vmap(proxddp.solve)``
+    hit the fused kernel without the solver knowing about batching (13×
+    over the vmapped scan at the SE(2) bench shape). ``mudyn``/``mueq`` may
+    be traced and, under vmap, per-element (each scenario's BCL μ-schedule
+    evolves independently). ``assume_explicit`` selects the E = −I fast
+    path; with ``False`` the kernel inverts the stage E-blocks (manifold
+    difference-chart Jacobians).
+    """
+    return _SOLVE_AND_GAINS[bool(assume_explicit)](problem, mudyn, mueq)
+
+
 def solve_refined(
     problem: LQRProblem,
     mudyn,

@@ -152,19 +152,79 @@ def _tri_solve_upper_t(L, B):
     return jnp.stack(out, -1 if vec else -2)
 
 
-def solve_spd(M, B):
-    """Solve with M symmetric positive definite (unrolled Cholesky for tiny
-    M — LAPACK-grade accuracy, zero kernel-launch overhead in scans)."""
+# Above this size, fall back to LAPACK-style primitives; below it (and
+# above _CLOSED_FORM_MAX) use the recursive block algorithms, whose heavy
+# ops are batched GEMMs that XLA maps onto the MXU — unlike
+# ``cho_factor``, whose blocked while-loop serializes catastrophically
+# inside a ``lax.scan`` on TPU (measured ~7× on the nx=36 Riccati scan).
+_BLOCKED_MAX = 64
+
+
+def chol_blocked(M):
+    """Recursive block Cholesky: L11 = chol(A); L21 = B L11^-T;
+    L22 = chol(C - L21 L21'). Backward-stable (it IS Cholesky, organized
+    so every large op is a batched matmul). Bottoms out at the unrolled
+    scalar kernel."""
     n = M.shape[-1]
     if n <= _CLOSED_FORM_MAX:
-        if B.ndim == M.ndim:
-            # matrix rhs: index columns along the last axis
-            L = chol_small(M)
-            Y = _tri_solve_lower(L, B)
-            return _tri_solve_upper_t(L, Y)
-        L = chol_small(M)
-        y = _tri_solve_lower(L, B)
-        return _tri_solve_upper_t(L, y)
+        return chol_small(M)
+    n1 = n // 2
+    A = M[..., :n1, :n1]
+    Bb = M[..., n1:, :n1]
+    C = M[..., n1:, n1:]
+    L11 = chol_blocked(A)
+    # L21 = B L11^{-T}  <=>  L11 L21' = B'
+    L21 = jnp.swapaxes(tri_solve_lower(L11, jnp.swapaxes(Bb, -1, -2)), -1, -2)
+    S = C - L21 @ jnp.swapaxes(L21, -1, -2)
+    L22 = chol_blocked(0.5 * (S + jnp.swapaxes(S, -1, -2)))
+    top = jnp.concatenate(
+        [L11, jnp.zeros(M.shape[:-2] + (n1, n - n1), M.dtype)], axis=-1
+    )
+    bot = jnp.concatenate([L21, L22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def tri_solve_lower(L, B):
+    """Solve L X = B, L lower-triangular, recursive blocks / unrolled tiny."""
+    n = L.shape[-1]
+    if n <= _CLOSED_FORM_MAX:
+        return _tri_solve_lower(L, B)
+    n1 = n // 2
+    vec = B.ndim == L.ndim - 1
+    B1 = B[..., :n1] if vec else B[..., :n1, :]
+    B2 = B[..., n1:] if vec else B[..., n1:, :]
+    L21 = L[..., n1:, :n1]
+    X1 = tri_solve_lower(L[..., :n1, :n1], B1)
+    upd = (L21 @ X1[..., None])[..., 0] if vec else L21 @ X1
+    X2 = tri_solve_lower(L[..., n1:, n1:], B2 - upd)
+    return jnp.concatenate([X1, X2], axis=-1 if vec else -2)
+
+
+def tri_solve_upper_t(L, B):
+    """Solve L' X = B, L lower-triangular, recursive blocks."""
+    n = L.shape[-1]
+    if n <= _CLOSED_FORM_MAX:
+        return _tri_solve_upper_t(L, B)
+    n1 = n // 2
+    vec = B.ndim == L.ndim - 1
+    B1 = B[..., :n1] if vec else B[..., :n1, :]
+    B2 = B[..., n1:] if vec else B[..., n1:, :]
+    L21t = jnp.swapaxes(L[..., n1:, :n1], -1, -2)
+    X2 = tri_solve_upper_t(L[..., n1:, n1:], B2)
+    upd = (L21t @ X2[..., None])[..., 0] if vec else L21t @ X2
+    X1 = tri_solve_upper_t(L[..., :n1, :n1], B1 - upd)
+    return jnp.concatenate([X1, X2], axis=-1 if vec else -2)
+
+
+def solve_spd(M, B):
+    """Solve with M symmetric positive definite (unrolled Cholesky for tiny
+    M, recursive block Cholesky up to n=64 — LAPACK-grade accuracy, no
+    while-loop primitives inside scans)."""
+    n = M.shape[-1]
+    if n <= _BLOCKED_MAX:
+        L = chol_blocked(M)
+        Y = tri_solve_lower(L, B)
+        return tri_solve_upper_t(L, Y)
     c = jax.scipy.linalg.cho_factor(M, lower=True)
     return jax.scipy.linalg.cho_solve(c, B)
 
@@ -172,12 +232,12 @@ def solve_spd(M, B):
 def spd_solver(M):
     """Amortized SPD solver closure (factor once, solve many)."""
     n = M.shape[-1]
-    if n <= _CLOSED_FORM_MAX:
-        L = chol_small(M)
+    if n <= _BLOCKED_MAX:
+        L = chol_blocked(M)
 
         def solve_(B):
-            Y = _tri_solve_lower(L, B)
-            return _tri_solve_upper_t(L, Y)
+            Y = tri_solve_lower(L, B)
+            return tri_solve_upper_t(L, Y)
 
         return solve_
     c = jax.scipy.linalg.cho_factor(M, lower=True)

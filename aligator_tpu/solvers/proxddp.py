@@ -113,7 +113,9 @@ class ProxDDPConfig:
     # solver-proxddp.hxx:84,411; forwardDynamics::run, utils/forward-dyn.hpp:29).
     # Raise for stiff implicit integrators (e.g. IntegratorMidpoint).
     rollout_max_iters: int = 1
-    # LQ subproblem solver (reference LQSolverChoice): 'serial' or
+    # LQ subproblem solver (reference LQSolverChoice): 'serial' (scan, with
+    # automatic dispatch to the fused Pallas TPU kernel under an outer vmap
+    # when eligible), 'serial_scan' (force the XLA scan path), or
     # 'parallel' (parallel-in-time leg condensation; requires linear rollout
     # and (N+1) %% parallel_legs == 0)
     linear_solver: str = "serial"
@@ -706,6 +708,26 @@ def solve(
             )
             factors = None
             gain_K, gain_kff = pgains.K, pgains.kff
+        elif (
+            cfg.linear_solver == "serial"
+            and lq.nth == 0
+            and lq.nc0 == lq.nx
+        ):
+            # serial solve through the custom_vmap dispatcher: unbatched it
+            # is the same backward+forward scan; under an outer vmap (the
+            # batched-MPC execution model) the whole batch goes to the fused
+            # Pallas TPU kernel when eligible (gar/pallas_riccati.py)
+            dxs, dus_p, dvs_p, dlams, gains = riccati.solve_and_gains(
+                lq, mudyn, st.mu, assume_explicit
+            )
+            factors = riccati.RiccatiFactors(
+                **gains,
+                Pmat=jnp.zeros_like(gains["Afb"]),
+                pvec=jnp.zeros_like(gains["yff"]),
+                x0=dxs[0],
+                lam0=dlams[0],
+            )
+            gain_K, gain_kff = factors.K, factors.kff
         else:
             factors = riccati.backward(lq, mudyn, st.mu, assume_explicit)
             dxs, dus_p, dvs_p, dlams = riccati.forward(factors)

@@ -13,11 +13,14 @@ Extras in the same line:
   * ``humanoid_solves_per_sec`` — ProxDDP at humanoid dims (nx=36, nu=12,
     N=100, control bounds; the dims of the reference gar bench
     ``bench/gar-riccati.cpp:18``), batch 1024.
-  * ``gar_scan_achieved_gbps`` / ``gar_scan_peak_frac`` — measured HBM
-    bandwidth of the XLA-scan Riccati solve at the se2-car LQ shape
-    (analytic byte accounting: knots read once, factors written + read,
-    outputs written, carry round-trips), vs the 819 GB/s v5e peak. This is
-    the roofline evidence that the scan path is memory-bound.
+  * ``gar_fused_lq_solves_per_sec`` / ``gar_fused_speedup_vs_scan`` /
+    ``gar_fused_min_traffic_gbps`` — the fused Pallas Riccati kernel at the
+    se2-car LQ shape vs the XLA scan path; bandwidth is on a minimum-traffic
+    basis (the recursion runs entirely out of VMEM). The scan path is
+    launch-overhead-bound (~100 sequential tiny kernels), the fused kernel
+    removes that — this replaces the round-1 "scan is at memory speed of
+    light" claim, which did not survive measurement with synchronous
+    readback.
 
 Baseline: the north-star target is 10,000 solves/s on a v5e-64 slice
 (BASELINE.md) → 156.25 solves/s/chip; vs_baseline = value / 156.25.
@@ -49,64 +52,58 @@ def _tree_bytes(tree):
     )
 
 
-def bench_gar_roofline(batch=8192, N=50, nx=4, nu=2, nc=2, n_rep=5):
-    """Measured HBM bandwidth of the batched XLA-scan Riccati solve."""
+def bench_gar_lq(batch=8192, N=50, nx=4, nu=2, nc=2, n_rep=5):
+    """Raw LQ-solve throughput: fused Pallas kernel vs the XLA scan path,
+    plus the fused kernel's achieved HBM bandwidth on a minimum-traffic
+    basis (inputs read once + outputs written once — a lower bound, since
+    the whole recursion runs out of VMEM)."""
+    from aligator_tpu.gar import pallas_riccati
+
     dtype = jnp.float32
     keys = jax.random.split(jax.random.PRNGKey(7), batch)
     probs = jax.vmap(
         lambda k: gar.random_problem(k, N, nx, nu, nc, dtype=dtype)
     )(keys)
 
-    m_inner = 10  # amortize the tunnel's per-dispatch latency
+    @jax.jit
+    def run_scan(probs):
+        xs, us, vs, lams = jax.vmap(
+            lambda p: riccati.solve(p, 1e-3, 1e-3, True)
+        )(probs)
+        return xs.sum() + us.sum() + vs.sum() + lams.sum()
 
     @jax.jit
-    def run(probs):
-        # m_inner back-to-back solves inside ONE dispatch; the input is
-        # perturbed per repeat (data dependence prevents loop hoisting).
-        def body(i, acc):
-            p_i = replace(
-                probs,
-                knots=replace(
-                    probs.knots,
-                    q=probs.knots.q + (acc[:, None, :] * 0.0 + i * 1e-6),
-                ),
-            )
-            xs, us, vs, lams = jax.vmap(
-                lambda p: riccati.solve(p, 1e-3, 1e-3, True)
-            )(p_i)
-            # consume every output so no sweep is dead-code-eliminated
-            extra = us.sum() + vs.sum() + lams.sum()
-            return acc + xs.mean(axis=1) + extra * jnp.float32(1e-20)
+    def run_fused(probs):
+        xs, us, vs, lams = pallas_riccati.solve(probs, 1e-3, 1e-3)
+        return xs.sum() + us.sum() + vs.sum() + lams.sum()
 
-        return jax.lax.fori_loop(
-            0, m_inner, body, jnp.zeros((batch, nx), dtype)
+    # inputs are perturbed per repetition: identical-argument dispatches can
+    # be served from a cache on the tunneled backend, which silently breaks
+    # throughput measurement (same applies to the other timed loops below)
+    def perturb(probs, i):
+        return replace(
+            probs,
+            knots=replace(probs.knots, q=probs.knots.q + i * 1e-6),
         )
 
-    out = run(probs)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = run(probs)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_rep / m_inner
-    out = jax.vmap(lambda p: riccati.solve(p, 1e-3, 1e-3, True))(probs)
+    times = {}
+    for name, fn in [("scan", run_scan), ("fused", run_fused)]:
+        jax.block_until_ready(fn(probs))
+        t0 = time.perf_counter()
+        for i in range(n_rep):
+            v = fn(perturb(probs, jnp.float32(i)))
+        jax.block_until_ready(v)
+        times[name] = (time.perf_counter() - t0) / n_rep
 
-    factors = jax.eval_shape(
-        lambda p: jax.vmap(
-            lambda q: riccati.backward(q, 1e-3, 1e-3, True)
-        )(p),
-        probs,
+    out_shape = jax.eval_shape(
+        lambda p: pallas_riccati.solve(p, 1e-3, 1e-3), probs
     )
-    # knots read once; factors written (backward) + read (forward); outputs
-    # written once; backward carry (P, p) round-trips HBM once per stage.
-    nbytes = (
-        _tree_bytes(probs)
-        + 2 * _tree_bytes(factors)
-        + _tree_bytes(out)
-        + 2 * batch * (N + 1) * (nx * nx + nx) * 4
+    nbytes = _tree_bytes(probs) + _tree_bytes(out_shape)
+    return dict(
+        fused_solves_per_sec=batch / times["fused"],
+        fused_speedup_vs_scan=times["scan"] / times["fused"],
+        fused_min_traffic_gbps=nbytes / times["fused"] / 1e9,
     )
-    gbps = nbytes / dt / 1e9
-    return gbps
 
 
 def make_humanoid_dims_problem(nsteps=100, dtype=jnp.float32):
@@ -164,8 +161,8 @@ def bench_humanoid(batch=1024, n_rep=3):
     us, _ = solve_batch(x0s)
     us.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        us, _ = solve_batch(x0s)
+    for i in range(n_rep):
+        us, _ = solve_batch(x0s + jnp.float32(i * 1e-6))
     us.block_until_ready()
     dt = (time.perf_counter() - t0) / n_rep
     return batch / dt
@@ -222,8 +219,8 @@ def main():
     # timed runs
     n_rep = 5
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        us, prim, dual = solve_batch(x0s)
+    for i in range(n_rep):
+        us, prim, dual = solve_batch(x0s + jnp.float32(i * 1e-6))
     us.block_until_ready()
     t1 = time.perf_counter()
 
@@ -231,7 +228,7 @@ def main():
     solves_per_sec = batch / dt_per_batch
 
     humanoid_sps = bench_humanoid()
-    gar_gbps = bench_gar_roofline()
+    lq = bench_gar_lq()
 
     out = {
         "metric": "se2car_solves_per_sec",
@@ -240,8 +237,9 @@ def main():
         "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC_PER_CHIP, 3),
         "frac_converged": round(frac_conv, 4),
         "humanoid_solves_per_sec": round(humanoid_sps, 2),
-        "gar_scan_achieved_gbps": round(gar_gbps, 1),
-        "gar_scan_peak_frac": round(gar_gbps / V5E_HBM_PEAK_GBPS, 3),
+        "gar_fused_lq_solves_per_sec": round(lq["fused_solves_per_sec"], 1),
+        "gar_fused_speedup_vs_scan": round(lq["fused_speedup_vs_scan"], 2),
+        "gar_fused_min_traffic_gbps": round(lq["fused_min_traffic_gbps"], 1),
     }
     print(json.dumps(out))
 

@@ -22,3 +22,19 @@ import jax  # noqa: E402
 # JAX_PLATFORMS; force the CPU backend programmatically as well.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled-executable caches between test modules.
+
+    With the full suite in one process (~170 tests, hundreds of compiled
+    while_loop programs) the XLA CPU compiler eventually crashes
+    (SIGABRT/SIGSEGV inside backend_compile, position-dependent, every test
+    passing in isolation) and resident memory grows by gigabytes. Clearing
+    per module bounds compiler state; cross-module cache hits are rare, so
+    the runtime cost is small."""
+    yield
+    jax.clear_caches()
