@@ -24,14 +24,15 @@ __version__ = "0.1.0"
 
 import jax as _jax
 
-# Riccati recursions on μ-scaled (ill-conditioned) KKT blocks are not stable
-# under the TPU's default bf16 matmul passes: at the bench shapes ~23% of
-# fp32 solves go non-finite with the default precision and 0% with fp32
-# accumulation (measured on v5e). The matrices in the hot path are tiny
-# (nx ≤ ~40), so full-precision passes cost nothing; large NN-style matmuls
-# are not this library's workload. Respect an explicit user setting.
+# Matmul-precision policy (see _precision.py): the TPU's default bf16
+# matmul passes make ~23% of fp32 Riccati solves go non-finite (measured on
+# v5e). Global default is 'high' (3-pass bf16 — fp64-identical convergence
+# statistics for problem evaluation/rollouts, ~2× faster than fp32 passes);
+# the gar numeric core pins 'highest' where μ-scaled KKT blocks demand full
+# fp32 (riccati/parallel/block_tridiag/fddp/contact). Respect an explicit
+# user setting.
 if _jax.config.jax_default_matmul_precision is None:
-    _jax.config.update("jax_default_matmul_precision", "highest")
+    _jax.config.update("jax_default_matmul_precision", "high")
 
 from . import gar
 

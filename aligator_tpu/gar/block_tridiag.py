@@ -26,6 +26,8 @@ residual without re-eliminating (reference ``blockTridiagRefinementStep``,
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from .._precision import highest_precision
 from jax import lax
 
 
@@ -52,6 +54,7 @@ def factorize(diag, lower):
     return Dt0, Dts, Ws
 
 
+@highest_precision
 def solve_factored(factors, lower, rhs):
     """Solve with a precomputed :func:`factorize` result. Returns x (K, n)."""
     Dt0, Dts, Ws = factors
@@ -77,6 +80,7 @@ def solve_factored(factors, lower, rhs):
     return jnp.concatenate([x0[None], xs_rest], axis=0)
 
 
+@highest_precision
 def solve(diag, lower, rhs, refine_steps: int = 0):
     """Solve the symmetric block-tridiagonal system. Returns x (K, n).
 

@@ -25,6 +25,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .._precision import highest_precision
+
 from .._pytree import pytree_dataclass, replace
 from . import block_tridiag
 from .lqr_problem import LQRKnots, LQRProblem, add_parameterization
@@ -70,6 +72,7 @@ class ParallelGains:
     K: jax.Array  # (T, nu, nx)
 
 
+@highest_precision
 def solve(
     problem: LQRProblem,
     mudyn,

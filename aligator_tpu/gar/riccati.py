@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .._precision import highest_precision
 from .._pytree import pytree_dataclass
 from . import smallmat
 from .lqr_problem import LQRKnots, LQRProblem
@@ -295,6 +296,7 @@ def sweep(kn: LQRKnots, mudyn, mueq, assume_explicit: bool = False):
     return carry_f, out
 
 
+@highest_precision
 def backward(
     problem: LQRProblem,
     mudyn,
@@ -352,6 +354,7 @@ def backward(
     )
 
 
+@highest_precision
 def forward(
     factors: RiccatiFactors,
     theta: Optional[jax.Array] = None,

@@ -27,6 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..._precision import highest_precision
 from ..._pytree import pytree_dataclass, static_field
 from ..dynamics.ode import ODE
 from . import model as rbd
@@ -77,6 +78,7 @@ def contact_drift(model, q, v, frame_id):
     return _drift(model, q, v, frame_id, 3)
 
 
+@highest_precision
 def constrained_fwd_dynamics(
     model,
     q,

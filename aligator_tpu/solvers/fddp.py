@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .._precision import highest_precision
 from .._pytree import pytree_dataclass, replace
 from ..core import problem as problem_mod
 from ..core.problem import TrajOptProblem
@@ -73,6 +74,7 @@ class FDDPResults:
     kff: Optional[jax.Array] = None
 
 
+@highest_precision
 def solve(
     problem: TrajOptProblem,
     cfg: FDDPConfig = FDDPConfig(),
