@@ -3,7 +3,8 @@
 TPU-native counterpart of the reference's ``aligator/gar`` subsystem
 (``include/aligator/gar/``): stacked-array LQ problems, a serial proximal
 Riccati solver expressed as `lax.scan`, a parallel-in-time solver via leg
-condensation, and dense-KKT oracles for testing.
+condensation, an O(log N) associative-scan solver, a fused Pallas TPU
+kernel with a custom_vmap dispatcher, and dense-KKT oracles for testing.
 """
 
 from .lqr_problem import (
@@ -17,7 +18,15 @@ from .lqr_problem import (
     random_problem,
     split_solution,
 )
-from .riccati import RiccatiFactors, backward, forward, solve, solve_refined
+from . import associative
+from .riccati import (
+    RiccatiFactors,
+    backward,
+    forward,
+    solve,
+    solve_and_gains,
+    solve_refined,
+)
 
 __all__ = [
     "LQRKnots",
@@ -32,6 +41,8 @@ __all__ = [
     "backward",
     "forward",
     "solve",
+    "solve_and_gains",
+    "associative",
     "solve_refined",
     "kkt_residual_vectors",
 ]

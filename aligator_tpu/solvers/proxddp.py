@@ -41,6 +41,7 @@ from ..utils import logger as logger_mod
 from ..core import problem as problem_mod
 from ..core.manifolds import VectorSpace
 from ..core.problem import ProblemData, TrajOptProblem
+from ..gar import associative as gar_associative
 from ..gar import lqr_problem as lqr_mod
 from ..gar import parallel as gar_parallel
 from ..gar import riccati
@@ -115,9 +116,11 @@ class ProxDDPConfig:
     rollout_max_iters: int = 1
     # LQ subproblem solver (reference LQSolverChoice): 'serial' (scan, with
     # automatic dispatch to the fused Pallas TPU kernel under an outer vmap
-    # when eligible), 'serial_scan' (force the XLA scan path), or
-    # 'parallel' (parallel-in-time leg condensation; requires linear rollout
-    # and (N+1) %% parallel_legs == 0)
+    # when eligible), 'serial_scan' (force the XLA scan path), 'parallel'
+    # (parallel-in-time leg condensation; requires linear rollout and
+    # (N+1) %% parallel_legs == 0), or 'associative' (O(log N)-depth
+    # associative-scan Riccati — latency-optimal for one long horizon;
+    # explicit dynamics only)
     linear_solver: str = "serial"
     parallel_legs: int = 2
     force_initial_condition: bool = True
@@ -708,6 +711,18 @@ def solve(
             )
             factors = None
             gain_K, gain_kff = pgains.K, pgains.kff
+        elif cfg.linear_solver == "associative":
+            # O(log N)-depth parallel-in-time solve (gar/associative.py):
+            # the latency-optimal choice for ONE long-horizon problem
+            if not assume_explicit:
+                raise ValueError(
+                    "associative linear solver requires explicit dynamics "
+                    "on a vector space"
+                )
+            dxs, dus_p, dvs_p, dlams, factors = gar_associative.solve(
+                lq, mudyn, st.mu, return_gains=True, refine_steps=1
+            )
+            gain_K, gain_kff = factors.K, factors.kff
         elif (
             cfg.linear_solver == "serial"
             and lq.nth == 0

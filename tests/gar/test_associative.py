@@ -1,0 +1,92 @@
+"""Associative-scan (O(log N)-depth) Riccati solver vs the serial scan.
+
+The two are the same μ-regularized recursion in different algebraic
+clothing (see gar/associative.py); cross-validation against the serial
+solver — itself validated against the dense KKT oracle and the native C++
+oracle — is the correctness argument."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aligator_tpu import gar, solvers
+from aligator_tpu._pytree import replace
+from aligator_tpu.gar import associative, riccati
+
+
+@pytest.mark.parametrize(
+    "seed,dims",
+    [(0, (2, 3, 2, 1)), (1, (7, 4, 2, 2)), (2, (33, 5, 3, 0)),
+     (3, (64, 4, 2, 1))],
+)
+def test_matches_serial(seed, dims):
+    N, nx, nu, nc = dims
+    prob = gar.random_problem(
+        jax.random.PRNGKey(seed), N, nx, nu, nc, dtype=jnp.float64
+    )
+    # the folded 1/μ scale costs ~μ⁻¹·eps accuracy relative to the serial
+    # reduced-KKT recursion (see module docstring), hence the μ-dependent
+    # tolerance; refinement (tested below) recovers the rest
+    for (mudyn, mueq), atol in [((1e-2, 1e-2), 1e-9), ((1e-4, 1e-4), 1e-5)]:
+        ref = riccati.solve(prob, mudyn, mueq, assume_explicit=True)
+        got = associative.solve(prob, mudyn, mueq)
+        for r, g in zip(ref, got):
+            scale = 1.0 + (jnp.abs(r).max() if r.size else 0.0)
+            assert jnp.allclose(r, g, atol=atol * scale), (seed, mudyn)
+
+
+def test_gains_match_serial():
+    prob = gar.random_problem(
+        jax.random.PRNGKey(5), 12, 4, 2, 2, dtype=jnp.float64
+    )
+    facs = riccati.backward(prob, 1e-3, 1e-3, assume_explicit=True)
+    *_, got = associative.solve(prob, 1e-3, 1e-3, return_gains=True)
+    N = prob.horizon
+    for name in ("kff", "K", "zff", "Z"):
+        assert jnp.allclose(
+            getattr(facs, name), getattr(got, name), atol=1e-9
+        ), name
+    for name in ("lff", "L", "yff", "Afb"):
+        assert jnp.allclose(
+            getattr(facs, name)[:N], getattr(got, name)[:N], atol=1e-9
+        ), name
+
+
+def test_refinement_recovers_extreme_mu():
+    """At μ = 1e-6 the penalty-folded scan alone loses ~5 digits (the 1/μ
+    scale is squared inside the element algebra); one KKT-residual
+    refinement restores solver-grade accuracy. (Below μ ≈ 1e-7 in fp64 the
+    folded operator stops being a contraction — use the serial reduced-KKT
+    path there, as the ProxDDP μ-floor does.)"""
+    prob = gar.random_problem(
+        jax.random.PRNGKey(9), 16, 4, 2, 2, dtype=jnp.float64
+    )
+    mudyn = mueq = 1e-6
+    raw = associative.solve(prob, mudyn, mueq)
+    ref1 = associative.solve(prob, mudyn, mueq, refine_steps=1)
+
+    def kkt_max(sol):
+        return float(
+            jnp.max(jnp.stack(gar.kkt_error(prob, *sol, mudyn, mueq)))
+        )
+
+    assert kkt_max(ref1) < 1e-8
+    assert kkt_max(ref1) <= kkt_max(raw)
+
+
+def test_proxddp_associative_linear_solver():
+    """ProxDDP with linear_solver='associative' converges to the serial
+    solution on a double-integrator reach problem."""
+    from examples.lqr import make_lqr_problem
+
+    problem = make_lqr_problem(nsteps=24, dtype=jnp.float64)
+    base = dict(tol=1e-8, mu_init=1e-3, max_iters=10, rollout="linear")
+    res_s = solvers.solve(
+        problem, solvers.ProxDDPConfig(**base, linear_solver="serial_scan")
+    )
+    res_a = solvers.solve(
+        problem, solvers.ProxDDPConfig(**base, linear_solver="associative")
+    )
+    assert bool(res_a.conv)
+    assert jnp.allclose(res_a.us, res_s.us, atol=1e-6)
+    assert jnp.allclose(res_a.K, res_s.K, atol=1e-5)
