@@ -52,6 +52,35 @@ def _tree_bytes(tree):
     )
 
 
+# --- timing discipline for the tunneled backend -------------------------
+# Two measurement hazards, both observed on this stack (see CLAUDE.md):
+#   1. identical-argument dispatches can be served from a cache;
+#   2. ``block_until_ready`` does not reliably wait for remote execution —
+#      only a host readback (``float(...)``) does.
+# Every timed region therefore (a) perturbs its input per repetition with a
+# data dependence on the previous result (prevents caching AND cross-
+# iteration reordering), and (b) ends with a scalar host readback. The
+# ~20 ms tunnel RTT is amortized with several repetitions per dispatch
+# where the per-solve time is small.
+
+
+def timed_solves(solve_scalar, x0s, n_rep=3):
+    """min over reps of one synchronous dispatch; returns seconds/batch.
+
+    ``solve_scalar(x0s) -> scalar`` must consume every output it wants
+    timed (sums), so nothing is dead-code-eliminated.
+    """
+    f = jax.jit(solve_scalar)
+    float(f(x0s))  # compile + warm
+    ts = []
+    for i in range(1, n_rep + 1):
+        pert = x0s + jnp.asarray(i * 1e-6, x0s.dtype)
+        t0 = time.perf_counter()
+        float(f(pert))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
 def bench_gar_lq(batch=8192, N=50, nx=4, nu=2, nc=2, n_rep=5):
     """Raw LQ-solve throughput: fused Pallas kernel vs the XLA scan path,
     plus the fused kernel's achieved HBM bandwidth on a minimum-traffic
@@ -65,35 +94,49 @@ def bench_gar_lq(batch=8192, N=50, nx=4, nu=2, nc=2, n_rep=5):
         lambda k: gar.random_problem(k, N, nx, nu, nc, dtype=dtype)
     )(keys)
 
-    @jax.jit
-    def run_scan(probs):
-        xs, us, vs, lams = jax.vmap(
-            lambda p: riccati.solve(p, 1e-3, 1e-3, True)
-        )(probs)
-        return xs.sum() + us.sum() + vs.sum() + lams.sum()
+    # chained in-dispatch repetition (see the timing-discipline note above):
+    # m solves inside ONE dispatch, each perturbed by the previous result so
+    # nothing can be cached, hoisted, or overlapped; one host readback.
+    def chained(solver, m):
+        @jax.jit
+        def run(probs):
+            def body(i, acc):
+                p = replace(
+                    probs,
+                    knots=replace(
+                        probs.knots,
+                        q=probs.knots.q
+                        + i * 1e-6
+                        + acc[:, None, :] * 1e-20,
+                    ),
+                )
+                xs, us, vs, lams = solver(p)
+                extra = us.sum() + vs.sum() + lams.sum()
+                return acc + xs.mean(axis=1) + extra * jnp.float32(1e-20)
 
-    @jax.jit
-    def run_fused(probs):
-        xs, us, vs, lams = pallas_riccati.solve(probs, 1e-3, 1e-3)
-        return xs.sum() + us.sum() + vs.sum() + lams.sum()
+            return jax.lax.fori_loop(
+                0, m, body, jnp.zeros((batch, nx), dtype)
+            ).sum()
 
-    # inputs are perturbed per repetition: identical-argument dispatches can
-    # be served from a cache on the tunneled backend, which silently breaks
-    # throughput measurement (same applies to the other timed loops below)
-    def perturb(probs, i):
-        return replace(
-            probs,
-            knots=replace(probs.knots, q=probs.knots.q + i * 1e-6),
-        )
+        float(run(probs))  # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(probs))
+            ts.append(time.perf_counter() - t0)
+        return min(ts) / m
 
-    times = {}
-    for name, fn in [("scan", run_scan), ("fused", run_fused)]:
-        jax.block_until_ready(fn(probs))
-        t0 = time.perf_counter()
-        for i in range(n_rep):
-            v = fn(perturb(probs, jnp.float32(i)))
-        jax.block_until_ready(v)
-        times[name] = (time.perf_counter() - t0) / n_rep
+    times = {
+        "scan": chained(
+            lambda p: jax.vmap(
+                lambda pp: riccati.solve(pp, 1e-3, 1e-3, True)
+            )(p),
+            5,
+        ),
+        "fused": chained(
+            lambda p: pallas_riccati.solve(p, 1e-3, 1e-3), 40
+        ),
+    }
 
     out_shape = jax.eval_shape(
         lambda p: pallas_riccati.solve(p, 1e-3, 1e-3), probs
@@ -158,13 +201,11 @@ def bench_humanoid(batch=1024, n_rep=3):
 
         return jax.vmap(one)(x0s)
 
-    us, _ = solve_batch(x0s)
-    us.block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(n_rep):
-        us, _ = solve_batch(x0s + jnp.float32(i * 1e-6))
-    us.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_rep
+    def scalar(x0s):
+        us, prim = solve_batch(x0s)
+        return us.sum() + prim.sum()
+
+    dt = timed_solves(scalar, x0s, n_rep=n_rep)
     return batch / dt
 
 
@@ -216,15 +257,12 @@ def main():
     conv = finite & (np.asarray(prim) <= cfg.tol) & (np.asarray(dual) <= cfg.tol)
     frac_conv = float(conv.mean())
 
-    # timed runs
-    n_rep = 5
-    t0 = time.perf_counter()
-    for i in range(n_rep):
-        us, prim, dual = solve_batch(x0s + jnp.float32(i * 1e-6))
-    us.block_until_ready()
-    t1 = time.perf_counter()
+    # timed runs (see the timing-discipline note above)
+    def scalar(x0s):
+        us, prim, dual = solve_batch(x0s)
+        return us.sum() + prim.sum() + dual.sum()
 
-    dt_per_batch = (t1 - t0) / n_rep
+    dt_per_batch = timed_solves(scalar, x0s, n_rep=5)
     solves_per_sec = batch / dt_per_batch
 
     humanoid_sps = bench_humanoid()

@@ -51,13 +51,16 @@ def main():
 
         return jax.vmap(one)(dv)
 
-    us, _ = solve_batch(d)
-    jax.block_until_ready(us)
+    def scalar(dv):
+        us, prim = solve_batch(dv)
+        return us.sum() + prim.sum()
+
+    g = jax.jit(scalar)
+    float(g(d))  # compile + warm
     ts = []
-    for i in range(1, 4):  # perturb per rep (see bench.py note)
+    for i in range(1, 4):  # perturbed reps + host readback (bench.py note)
         t0 = time.perf_counter()
-        us, _ = solve_batch(d + jnp.float32(i * 1e-6))
-        jax.block_until_ready(us)
+        float(g(d + jnp.float32(i * 1e-6)))
         ts.append(time.perf_counter() - t0)
     dt = min(ts)
     print(
