@@ -39,11 +39,48 @@ def shard_batch(mesh: Mesh, tree, axis_name: str = "batch"):
     return jax.device_put(tree, sharding)
 
 
+def make_hybrid_mesh(
+    n_slices: Optional[int] = None,
+    axis_names=("dcn", "batch"),
+) -> Mesh:
+    """Two-level mesh for multi-slice TPU pods: the outer axis spans slices
+    (connected over DCN — data-center network), the inner axis the chips of
+    a slice (connected over ICI).
+
+    Layout rule (the scaling-book recipe): shard ONLY embarrassingly
+    parallel work — the MPC scenario batch — over the ``dcn`` axis (zero
+    collectives cross-slice), and keep every collective-bearing axis
+    (parallel-in-time legs, condensed-system reductions) inside a slice so
+    it rides ICI. ``batched_solve(axis_name=('dcn', 'batch'))`` shards the
+    scenario batch over both axes at once.
+
+    Uses ``jax.experimental.mesh_utils.create_hybrid_device_mesh`` when
+    slice topology is discoverable; falls back to a flat reshape (e.g. on
+    the CPU-virtual test mesh, where DCN is simulated).
+    """
+    devices = jax.devices()
+    n = len(devices)
+    if n_slices is None:
+        # group by slice if the platform exposes it; else one "slice"
+        slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+        n_slices = max(len(slice_ids), 1)
+    per_slice = n // n_slices
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (per_slice,), (n_slices,), devices=devices
+        ).reshape(n_slices, per_slice)
+    except Exception:
+        arr = np.array(devices).reshape(n_slices, per_slice)
+    return Mesh(arr, axis_names=axis_names)
+
+
 def batched_solve(
     solve_one: Callable,
     batch_args,
     mesh: Optional[Mesh] = None,
-    axis_name: str = "batch",
+    axis_name="batch",
 ):
     """Shard ``batch_args`` (leading batch axis) over the mesh and run
     ``vmap(solve_one)`` under jit with explicit shardings.

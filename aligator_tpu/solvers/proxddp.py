@@ -826,7 +826,16 @@ def solve(
             valid = jnp.logical_and(
                 st.filter_valid, jnp.logical_not(dominated_by_new)
             )
-            slot = jnp.argmin(valid)  # first free slot (or 0 if full)
+            # first free slot; when the pool is full, evict the entry with
+            # the largest merit (the point of the filter is its lower
+            # envelope — the max-φ entry is the least binding). The
+            # reference's vector append (core/filter.hpp:42-105) is
+            # unbounded; a fixed pool needs an explicit eviction policy.
+            free_slot = jnp.argmin(valid)
+            evict_slot = jnp.argmax(
+                jnp.where(valid, st.filter_vals[:, 0], -jnp.inf)
+            )
+            slot = jnp.where(jnp.all(valid), evict_slot, free_slot)
             fvals = st.filter_vals.at[slot].set(jnp.stack([phi, prim_t]))
             fvalid = valid.at[slot].set(True)
             st = replace(st, filter_vals=fvals, filter_valid=fvalid)

@@ -1,0 +1,68 @@
+"""Mesh helpers on the virtual 8-device CPU mesh (conftest forces
+``--xla_force_host_platform_device_count=8``): flat batch sharding,
+simulated two-level (dcn × batch) hybrid mesh, and sharded-vs-local
+equality of ``batched_solve`` (reference §5.8 analog — the OpenMP layer)."""
+
+import jax
+import jax.numpy as jnp
+
+from aligator_tpu import gar, solvers
+from aligator_tpu._pytree import replace
+from aligator_tpu.parallel import mesh as mesh_mod
+
+
+def _solve_one(problem):
+    def one(x0g):
+        p = replace(problem, g0=x0g)
+        xs, us, vs, lams = gar.solve(p, 1e-3, 1e-3, assume_explicit=True)
+        return us
+
+    return one
+
+
+def test_batched_solve_matches_local():
+    prob = gar.random_problem(jax.random.PRNGKey(0), 10, 4, 2, 1, dtype=jnp.float64)
+    B = 16
+    g0s = jax.random.normal(jax.random.PRNGKey(1), (B, 4), jnp.float64)
+    one = _solve_one(prob)
+    m = mesh_mod.make_mesh()
+    assert m.devices.size == 8
+    out = mesh_mod.batched_solve(one, g0s, mesh=m)
+    ref = jax.vmap(one)(g0s)
+    assert jnp.allclose(out, ref, atol=1e-10)
+
+
+def test_hybrid_mesh_two_level():
+    """Simulated 2 slices x 4 chips: the scenario batch shards over both
+    axes; results equal the local solve (no cross-slice collectives are
+    introduced by the solve itself)."""
+    m = mesh_mod.make_hybrid_mesh(n_slices=2)
+    assert m.axis_names == ("dcn", "batch")
+    assert m.devices.shape == (2, 4)
+
+    prob = gar.random_problem(jax.random.PRNGKey(2), 8, 3, 2, 0, dtype=jnp.float64)
+    B = 16
+    g0s = jax.random.normal(jax.random.PRNGKey(3), (B, 3), jnp.float64)
+    one = _solve_one(prob)
+    out = mesh_mod.batched_solve(one, g0s, mesh=m, axis_name=("dcn", "batch"))
+    ref = jax.vmap(one)(g0s)
+    assert jnp.allclose(out, ref, atol=1e-10)
+
+
+def test_proxddp_sharded_solve():
+    """End-to-end ProxDDP under the mesh: sharded batch equals local."""
+    from examples.lqr import make_lqr_problem
+
+    problem = make_lqr_problem(nsteps=12)
+    cfg = solvers.ProxDDPConfig(tol=1e-8, mu_init=1e-3, max_iters=6)
+    nx = problem.x0.shape[0]
+    B = 8
+    x0s = problem.x0 + 0.1 * jax.random.normal(jax.random.PRNGKey(4), (B, nx))
+
+    def one(x0):
+        return solvers.solve(replace(problem, x0=x0), cfg).us
+
+    m = mesh_mod.make_mesh()
+    out = mesh_mod.batched_solve(one, x0s, mesh=m)
+    ref = jax.vmap(one)(x0s)
+    assert jnp.allclose(out, ref, atol=1e-8)

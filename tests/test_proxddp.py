@@ -2,6 +2,8 @@
 ``tests/python/test_solver.py``): LQR convergence, box-constrained LQR with
 both rollout types, terminal equality constraints, batched solves."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import pytest
@@ -347,3 +349,23 @@ def test_no_retrace_across_calls():
     assert bool(r1.conv) and bool(r2.conv)
     assert n_trace == 1
     assert run._cache_size() == 1
+
+
+def test_filter_eviction_when_pool_full():
+    """With a tiny filter pool the solver must still converge: when the pool
+    fills, the max-merit (least binding) entry is evicted rather than
+    silently overwriting slot 0 (the reference's filter is an unbounded
+    vector append, core/filter.hpp:42-105)."""
+    from examples.se2_car import create_se2_problem
+
+    problem = create_se2_problem(nsteps=20, dtype=jnp.float64)
+    cfg = solvers.ProxDDPConfig(
+        tol=1e-6, mu_init=1e-2, max_iters=30, ls_strategy="filter",
+        filter_size=2,
+    )
+    res = solvers.solve(problem, cfg)
+    assert bool(res.conv)
+    # matches the large-pool solution
+    cfg_big = dataclasses.replace(cfg, filter_size=40)
+    res_big = solvers.solve(problem, cfg_big)
+    assert jnp.allclose(res.us, res_big.us, atol=1e-5)
