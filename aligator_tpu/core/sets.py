@@ -43,6 +43,16 @@ class ConstraintSet:
         """Return a copy parameterized by the prox scale μ (L1-type penalties)."""
         return self
 
+    def moreau_envelope(self, z, mu) -> jax.Array:
+        """Moreau envelope value of the penalty at z with prox scale μ
+        (reference ``evaluateMoreauEnvelope``, core/constraint-set.hpp:93):
+        penalty at the prox point plus the quadratic prox distance. For
+        indicator sets this is ``dist²(z, set)/(2μ)``."""
+        s = self.set_prox_parameter(mu)
+        zprox = s.projection(z)
+        zres = z - zprox
+        return s.evaluate(zprox) + 0.5 / mu * jnp.sum(zres * zres)
+
 
 @pytree_dataclass
 class EqualityConstraint(ConstraintSet):

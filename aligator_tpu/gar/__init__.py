@@ -8,6 +8,7 @@ kernel with a custom_vmap dispatcher, and dense-KKT oracles for testing.
 """
 
 from .lqr_problem import (
+    initialize_solution,
     kkt_residual_vectors,
     LQRKnots,
     LQRProblem,
@@ -36,6 +37,7 @@ __all__ = [
     "dense_solve",
     "kkt_error",
     "random_problem",
+    "initialize_solution",
     "split_solution",
     "RiccatiFactors",
     "backward",

@@ -282,6 +282,20 @@ def dense_solve(problem: LQRProblem, mudyn, mueq):
     return split_solution(problem, z)
 
 
+def initialize_solution(problem: LQRProblem):
+    """Zero-initialized ``(xs, us, vs, lams)`` with the problem's shapes
+    (reference ``lqrInitializeSolution``, gar/utils.hpp)."""
+    N = problem.horizon
+    nx, nu, nc = problem.nx, problem.nu, problem.nc
+    dt = problem.knots.Q.dtype
+    return (
+        jnp.zeros((N + 1, nx), dt),
+        jnp.zeros((N + 1, nu), dt),
+        jnp.zeros((N + 1, nc), dt),
+        jnp.zeros((N + 1, nx), dt),
+    )
+
+
 def split_solution(problem: LQRProblem, z: jax.Array):
     """Split a stacked dense-KKT solution vector into (xs, us, vs, lams)."""
     N = problem.horizon

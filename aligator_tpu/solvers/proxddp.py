@@ -205,6 +205,7 @@ class _State:
     K: jax.Array
     kff: jax.Array
     alpha_last: jax.Array  # accepted step length of the last Newton step
+    dphi_last: jax.Array  # merit directional derivative of the last step
     history: jax.Array  # (max_iters, 8) or (0, 8)
     hist_xs: jax.Array  # (max_iters, N+1, nx) or (0, ...)
     hist_us: jax.Array  # (max_iters, N, nu) or (0, ...)
@@ -575,6 +576,7 @@ def solve(
         filter_vals=jnp.zeros((cfg.filter_size, 2), dtype),
         filter_valid=jnp.zeros((cfg.filter_size,), bool),
         alpha_last=jnp.asarray(0.0, dtype),
+        dphi_last=jnp.asarray(0.0, dtype),
         history=jnp.zeros(
             (cfg.max_iters if cfg.record_history else 0, 8), dtype
         ),
@@ -946,6 +948,7 @@ def solve(
             K=gain_K,
             kff=gain_kff,
             alpha_last=alpha,
+            dphi_last=dphi0,
         )
 
         # regularization schedule (solver-proxddp.hpp:349-366): on linesearch
@@ -1004,7 +1007,7 @@ def solve(
             # inner iteration, solver-proxddp.hxx:708-721, and invokes the
             # registered callbacks, solver-proxddp.hpp:281-309)
             def _emit(it, al, alpha, prim_e, dual_e, crit_e, cost_e, merit_e,
-                      mu_e):
+                      mu_e, preg_e, dphi0_e):
                 trace = {
                     "iter": int(it) + 1,
                     "al_iter": int(al) + 1,
@@ -1012,6 +1015,8 @@ def solve(
                     "prim_err": float(prim_e),
                     "dual_err": float(dual_e),
                     "inner_crit": float(crit_e),
+                    "preg": float(preg_e),
+                    "dphi0": float(dphi0_e),
                     "cost": float(cost_e),
                     "merit": float(merit_e),
                     "mu": float(mu_e),
@@ -1023,7 +1028,7 @@ def solve(
 
             jax.debug.callback(
                 _emit, st.iter, st.al_iter, st.alpha_last, prim, dual, crit,
-                data.cost, st.merit, st.mu,
+                data.cost, st.merit, st.mu, st.preg, st.dphi_last,
             )
         if cfg.record_history_trajs:
             st = replace(

@@ -48,6 +48,8 @@ class Logger:
         print("Successfully converged." if conv else "Convergence failure.")
 
 
+# reference default column set (utils/logger.hpp:22-28):
+# iter/alpha/inner_crit/prim_err/dual_err/preg/cost/dphi0/merit/aliter/mu
 _ROW_KEYS = (
     ("iter", "{:>5d}"),
     ("al_iter", "{:>7d}"),
@@ -55,6 +57,8 @@ _ROW_KEYS = (
     ("prim_err", "{:>10.3e}"),
     ("dual_err", "{:>10.3e}"),
     ("inner_crit", "{:>10.3e}"),
+    ("preg", "{:>9.2e}"),
+    ("dphi0", "{:>10.3e}"),
     ("cost", "{:>11.4e}"),
     ("merit", "{:>11.4e}"),
     ("mu", "{:>9.2e}"),

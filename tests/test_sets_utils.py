@@ -121,3 +121,26 @@ def test_plotting_smoke(tmp_path):
     times = np.linspace(0, 1, 11)
     us = np.random.randn(10, 2)
     plotting.plot_controls_traj(times, us)
+
+
+def test_moreau_envelope():
+    """Reference evaluateMoreauEnvelope (core/constraint-set.hpp:93): for an
+    indicator set, dist²/(2μ); for L1, the Huber-like smoothing that lower-
+    bounds the penalty and matches it away from the kink."""
+    import jax.numpy as jnp
+    from aligator_tpu.core.sets import BoxConstraint, L1Penalty
+
+    box = BoxConstraint(lower=-jnp.ones(2), upper=jnp.ones(2))
+    z = jnp.array([2.0, 0.5])
+    mu = 0.1
+    # dist to the box is (1, 0)
+    assert jnp.allclose(box.moreau_envelope(z, mu), 0.5 / mu * 1.0)
+
+    l1 = L1Penalty(scale=1.0, mu=mu)
+    z = jnp.array([3.0])
+    # envelope = |prox| + |z-prox|^2/(2mu), prox = z - mu*scale away from kink
+    val = l1.moreau_envelope(z, mu)
+    expected = (3.0 - mu) + 0.5 / mu * mu**2
+    assert jnp.allclose(val, expected)
+    # lower-bounds the raw penalty
+    assert float(val) <= 3.0
