@@ -210,7 +210,7 @@ def bench_humanoid(batch=1024, n_rep=3):
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     nsteps = 50
     dtype = jnp.float32
 
