@@ -27,6 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ...gar import smallmat
 from ..._precision import highest_precision
 from ..._pytree import pytree_dataclass, static_field
 from ..dynamics.ode import ODE
@@ -139,16 +140,15 @@ def constrained_fwd_dynamics(
     Jc = Jc * act[:, None]
     gamma = gamma * act
 
-    cM = jax.scipy.linalg.cho_factor(M, lower=True)
-    MinvJt = jax.scipy.linalg.cho_solve(cM, Jc.T)  # (nv, Σdims)
-    a_free = jax.scipy.linalg.cho_solve(cM, free)
+    solve_M = smallmat.spd_solver(M)  # blocked Cholesky (gar/smallmat.py)
+    MinvJt = solve_M(Jc.T)  # (nv, Σdims)
+    a_free = solve_M(free)
 
     # Delassus operator with prox regularization; inactive rows reduce to
     # μ·λ = 0 → λ = 0.
     G = Jc @ MinvJt + prox_mu * jnp.eye(Jc.shape[0], dtype=dtype)
     rhs = Jc @ a_free + gamma
-    cG = jax.scipy.linalg.cho_factor(0.5 * (G + G.T), lower=True)
-    lam = jax.scipy.linalg.cho_solve(cG, rhs)
+    lam = smallmat.solve_spd(0.5 * (G + G.T), rhs)
 
     a = a_free - MinvJt @ lam
     return a, -lam
