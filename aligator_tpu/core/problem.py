@@ -114,17 +114,26 @@ def stack_stages(stages: list) -> StageModel:
 class TrajOptProblem:
     """Trajectory optimization problem over horizon N.
 
-    The initial condition is the constraint ``xs[0] ⊖ x0 = 0`` (the
+    The default initial condition is the constraint ``xs[0] ⊖ x0 = 0`` (the
     reference's default ``StateErrorResidual`` initial constraint,
-    ``core/traj-opt-problem.hpp:78``).
+    ``core/traj-opt-problem.hpp:78``). A general initial-condition residual
+    ``g(x0) = 0`` (e.g. a :class:`FunctionSlice` of a state error, pinning
+    only part of the state — reference
+    ``examples/partial_initial_condition.py``) can be supplied via
+    ``init_constraint``; its value/Jacobian are padded with zero rows to a
+    fixed ``(ndx,)`` shape, which the μ-regularized initial KKT solve
+    (``gar/riccati.py`` ``_initial_solve``) treats as exactly-inactive rows
+    (zero multiplier), keeping all solver shapes static under jit.
     """
 
     stages: StageModel  # array leaves have leading dim N
     term_cost: Cost
     x0: jax.Array
     term_constraints: tuple = ()  # ((UnaryFunction, ConstraintSet), ...)
+    init_constraint: Optional[object] = None  # StageFunction residual g(x0)
     nsteps: int = static_field(default=0)
     term_cstr_dims: tuple = static_field(default=())
+    init_cstr_dim: int = static_field(default=-1)  # -1 → full-state default
 
     @property
     def space(self) -> Manifold:
@@ -168,6 +177,26 @@ class TrajOptProblem:
             dims=self.term_cstr_dims,
         )
 
+    def init_condition_residual(self, x):
+        """Initial-condition residual, zero-padded to shape ``(ndx,)``."""
+        if self.init_constraint is None:
+            return self.space.difference(self.x0, x)
+        u0 = jnp.zeros((self.nu,), jnp.result_type(x))
+        r = self.init_constraint.value(self.space, x, u0)
+        pad = self.space.ndx - r.shape[-1]
+        return jnp.concatenate([r, jnp.zeros((pad,), r.dtype)], -1)
+
+    def init_condition_jacobian(self, x):
+        """∂(init residual)/∂x, zero-padded to ``(ndx, ndx)``."""
+        if self.init_constraint is None:
+            return self.space.jdifference(self.x0, x, 1)
+        u0 = jnp.zeros((self.nu,), jnp.result_type(x))
+        J = self.init_constraint.jacobians(self.space, x, u0)[0]
+        pad = self.space.ndx - J.shape[-2]
+        return jnp.concatenate(
+            [J, jnp.zeros((pad, J.shape[-1]), J.dtype)], -2
+        )
+
 
 def make_problem(
     x0,
@@ -176,9 +205,15 @@ def make_problem(
     term_cost: Cost,
     term_constraints=(),
     stages: Optional[StageModel] = None,
+    init_constraint=None,
 ) -> TrajOptProblem:
     """Build a TrajOptProblem from a single stage model (replicated) or an
-    already-stacked ``stages`` pytree."""
+    already-stacked ``stages`` pytree.
+
+    ``init_constraint`` optionally replaces the full-state initial condition
+    with a general residual ``g(x0) = 0`` of dimension ≤ ndx (reference:
+    ``TrajOptProblemTpl``'s init-condition StageFunction,
+    ``core/traj-opt-problem.hpp:78``)."""
     if stages is None:
         stages = replicate_stage(stage, nsteps)
     space, nu = stage.space, stage.nu
@@ -188,13 +223,27 @@ def make_problem(
             lambda f=f: f.value(space, space.neutral(), jnp.zeros((nu,)))
         )
         tdims.append(shape.shape[-1])
+    init_dim = -1
+    if init_constraint is not None:
+        shape = jax.eval_shape(
+            lambda: init_constraint.value(
+                space, space.neutral(), jnp.zeros((nu,))
+            )
+        )
+        init_dim = shape.shape[-1]
+        if init_dim > space.ndx:
+            raise ValueError(
+                f"init_constraint dim {init_dim} exceeds ndx={space.ndx}"
+            )
     return TrajOptProblem(
         stages=stages,
         term_cost=term_cost,
         x0=jnp.asarray(x0),
         term_constraints=tuple(term_constraints),
+        init_constraint=init_constraint,
         nsteps=nsteps,
         term_cstr_dims=tuple(tdims),
+        init_cstr_dim=init_dim,
     )
 
 
@@ -260,7 +309,7 @@ def evaluate(problem: TrajOptProblem, xs, us) -> ProblemData:
     u0 = jnp.zeros((problem.nu,), xs.dtype)
     tc = problem.term_cost.value(space, xs[N], u0)
     tv = problem.term_constraint_values(xs[N])
-    init_res = space.difference(problem.x0, xs[0])
+    init_res = problem.init_condition_residual(xs[0])
     return ProblemData(
         cost=jnp.sum(costs) + tc,
         stage_costs=costs,
@@ -335,8 +384,8 @@ def compute_derivatives(
     tv = problem.term_constraint_values(xs[N])
     tJx = problem.term_constraint_jacobians(xs[N])
 
-    init_res = space.difference(problem.x0, xs[0])
-    init_Jx = space.jdifference(problem.x0, xs[0], 1)
+    init_res = problem.init_condition_residual(xs[0])
+    init_Jx = problem.init_condition_jacobian(xs[0])
 
     Lx = jnp.concatenate([Lx_s, tLx[None]], axis=0)
     Lxx = jnp.concatenate([Lxx_s, tLxx[None]], axis=0)

@@ -525,6 +525,14 @@ def solve(
     N = problem.nsteps
     ndx, nu, nc, nct = space.ndx, problem.nu, problem.nc, problem.nc_term
 
+    if problem.init_constraint is not None and cfg.force_initial_condition:
+        raise ValueError(
+            "a general init_constraint requires "
+            "ProxDDPConfig(force_initial_condition=False) "
+            "(reference: solver.force_initial_condition = False in "
+            "examples/partial_initial_condition.py)"
+        )
+
     dtype = problem.x0.dtype
     if xs_init is None:
         xs_init = jnp.broadcast_to(problem.x0, (N + 1,) + problem.x0.shape)
