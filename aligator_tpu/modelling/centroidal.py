@@ -92,16 +92,23 @@ class AngularAccelerationResidual(StageFunction):
 class CentroidalFrictionConeResidual(StageFunction):
     """Linearized friction cone for contact k: r(u) ≤ 0 with
     r = (−fz + εz, |fx| − μ fz, |fy| − μ fz) (4 rows, inner pyramid
-    approximation — reference ``centroidal-friction-cone.hpp:22``)."""
+    approximation — reference ``centroidal-friction-cone.hpp:22``).
+
+    ``active`` gates the rows: the reference attaches cone constraints only
+    to stages whose contact is active (type-heterogeneous stages,
+    ``examples/centroidal.py:164-171``); here stages are homogeneous stacked
+    pytrees, so an inactive contact instead zeroes its rows (r = 0,
+    trivially feasible) — the stage-varying mask idiom."""
 
     mu: jax.Array
     eps: jax.Array
+    active: jax.Array = 1.0
     contact_id: int = static_field(default=0)
 
     def value(self, space, x, u):
         f = u[..., 3 * self.contact_id : 3 * self.contact_id + 3]
         fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
-        return jnp.stack(
+        return jnp.asarray(self.active) * jnp.stack(
             [
                 -fz + self.eps,
                 fx - self.mu * fz,

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..._pytree import pytree_dataclass
+from ..._pytree import pytree_dataclass, static_field
 from .ode import ODE
 
 
@@ -69,7 +69,7 @@ class KinodynamicsFwdDynamics(ODE):
     contact_map: ContactMap
     mass: jax.Array
     gravity: jax.Array
-    n_joints: int = 0
+    n_joints: int = static_field(default=0)
 
     def xdot(self, space, x, u):
         nj = self.n_joints

@@ -166,3 +166,30 @@ def test_direct_sum_dynamics():
     y = dyn.forward(space, x, u)
     assert jnp.allclose(y[:2], 0.9 * x[:2] + 1.0)
     assert jnp.allclose(y[2:], 1.1 * x[2:] + 1.0)
+
+
+def test_kinodynamics_stacked_stages_solve():
+    """Kinodynamics end-to-end with stage-varying contact schedules: the
+    centroidal block obeys Newton-Euler and swing contacts carry no force.
+    Regression: ``KinodynamicsFwdDynamics.n_joints`` must be static metadata
+    (stacking stages must not turn it into a traced leaf)."""
+    from examples.solo_kinodynamics import create_kinodynamics_problem
+    from aligator_tpu import solvers
+
+    problem = create_kinodynamics_problem()
+    cfg = solvers.ProxDDPConfig(
+        tol=1e-5, mu_init=1e-7, max_iters=100, max_al_iters=15,
+        rollout="linear", ls_strategy="filter",
+    )
+    res = solvers.solve(problem, cfg)
+    assert bool(res.conv)
+    # terminal CoM constraint holds
+    assert float(jnp.abs(res.xs[-1, 0] - 0.16)) < 1e-5
+    # friction cones: active contacts push (fz >= -tol), swing contacts are
+    # free variables that only the control cost sees -> driven to ~0
+    from examples.solo_kinodynamics import make_schedule
+
+    active, _, _, _ = make_schedule()
+    fz = jnp.reshape(res.us[:, :12], (-1, 4, 3))[:, :, 2]
+    assert float(jnp.min(jnp.where(active > 0, fz, 0.0))) > -1e-6
+    assert float(jnp.max(jnp.abs(jnp.where(active > 0, 0.0, fz)))) < 1e-3
