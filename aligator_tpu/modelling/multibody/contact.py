@@ -145,10 +145,22 @@ def constrained_fwd_dynamics(
     a_free = solve_M(free)
 
     # Delassus operator with prox regularization; inactive rows reduce to
-    # μ·λ = 0 → λ = 0.
-    G = Jc @ MinvJt + prox_mu * jnp.eye(Jc.shape[0], dtype=dtype)
+    # μ·λ = 0 → λ = 0. The Delassus matrix is structurally rank-deficient
+    # for redundant contact sets (e.g. 4 coplanar point feet on a 14-dof
+    # quadruped), so the regularization must be ≥ round-off at the working
+    # dtype: floor μ at 64·eps·max(diag G), else the fp32 Cholesky NaNs
+    # (the reference runs this KKT in fp64 where 1e-8 is enough,
+    # ``multibody/constraint-fwd-dynamics.hxx``).
+    G0 = Jc @ MinvJt
+    G0 = 0.5 * (G0 + G0.T)
+    eps = jnp.finfo(dtype).eps
+    mu_eff = jnp.maximum(
+        jnp.asarray(prox_mu, dtype),
+        64.0 * eps * jnp.max(jnp.diagonal(G0)),
+    )
+    G = G0 + mu_eff * jnp.eye(Jc.shape[0], dtype=dtype)
     rhs = Jc @ a_free + gamma
-    lam = smallmat.solve_spd(0.5 * (G + G.T), rhs)
+    lam = smallmat.solve_spd(G, rhs)
 
     a = a_free - MinvJt @ lam
     return a, -lam

@@ -171,3 +171,31 @@ def test_6d_contact_newton_euler_balance():
     f_lin = forces[:3] + forces[6:9]
     residual = f_lin + total_mass * model.gravity - dP
     assert jnp.allclose(residual, 0.0, atol=1e-6), residual
+
+
+def test_redundant_contacts_fp32_finite():
+    """Regression: the Delassus operator of 4 coplanar point feet on a
+    quadruped is rank-deficient; with prox_mu=1e-8 (below fp32 round-off)
+    the Cholesky used to emit NaN. The dtype-aware regularization floor must
+    keep the solve finite in fp32 while staying exact in fp64."""
+    from aligator_tpu.modelling.multibody.contact import constrained_fwd_dynamics
+    from aligator_tpu.modelling.multibody.quadruped import (
+        make_quadruped,
+        standing_configuration,
+    )
+
+    model = make_quadruped()
+    q0 = standing_configuration(model)
+    for dtype in (jnp.float32, jnp.float64):
+        q = q0.astype(dtype)
+        v = jnp.zeros((model.nv,), dtype)
+        tau = jnp.zeros((model.nv,), dtype)
+        a, lam = constrained_fwd_dynamics(
+            model, q, v, tau, (0, 1, 2, 3), jnp.ones((4,), dtype),
+            prox_mu=1e-8, kd=10.0,
+        )
+        assert bool(jnp.isfinite(a).all()), dtype
+        assert bool(jnp.isfinite(lam).all()), dtype
+        # the stance feet push (total normal force supports the robot)
+        fz = lam.reshape(4, 3)[:, 2]
+        assert float(fz.sum()) > 0.0
