@@ -193,3 +193,22 @@ def test_kinodynamics_stacked_stages_solve():
     fz = jnp.reshape(res.us[:, :12], (-1, 4, 3))[:, :, 2]
     assert float(jnp.min(jnp.where(active > 0, fz, 0.0))) > -1e-6
     assert float(jnp.max(jnp.abs(jnp.where(active > 0, 0.0, fz)))) < 1e-3
+
+
+def test_wheeled_inverted_pendulum_transfer():
+    """Segway point-to-point transfer (WheeledInvertedPendulumDynamics,
+    reference modelling/dynamics/wheeled-inverted-pendulum.hpp:8): reach the
+    goal upright, within the wheel-torque bound."""
+    from examples.wheeled_inverted_pendulum import create_wip_problem
+    from aligator_tpu import solvers
+
+    problem = create_wip_problem(nsteps=60, timestep=0.03)
+    cfg = solvers.ProxDDPConfig(
+        tol=1e-5, mu_init=1e-2, max_iters=60, rollout="nonlinear"
+    )
+    res = solvers.solve(problem, cfg)
+    assert bool(res.conv)
+    xN = res.xs[-1]
+    assert float(jnp.abs(xN[0] - 1.0)) < 0.05  # at the goal
+    assert float(jnp.abs(xN[1])) < 0.02  # upright
+    assert float(jnp.max(jnp.abs(res.us))) <= 3.0 + 1e-6  # torque bound
