@@ -242,6 +242,96 @@ PANDA_Q_UPPER = np.array(
 )
 
 
+def make_dual_arm_ffsr(
+    base_mass=60.0,
+    base_half=(0.35, 0.45, 0.25),
+    mount_y=0.45,
+    mount_z=0.15,
+) -> RobotModel:
+    """Dual-arm free-floating space robot (FFSR): free-flyer base bus with
+    two 7-DOF Panda-kinematics arms mounted on its ±y faces, zero gravity.
+
+    Role of the reference fork's vendored application workload
+    (``dual-FFSR_ProxDDP/main3.py``: pin.buildModelsFromMJCF of
+    ``xml/dual_arm_space_robot.xml``, ``pin_model.gravity.linear[:] = 0``,
+    nq = 7 + 14, nv = 6 + 14, base unactuated). The arm chains reuse the
+    published Panda nominal kinematics/inertials (see :func:`make_panda`);
+    each arm's base frame is rotated so its first joint axis points along
+    the world ±y at the neutral base attitude.
+    """
+    half_pi = jnp.pi / 2
+    z = jnp.array([0.0, 0.0, 1.0])
+    lx, ly, lz = base_half
+
+    def box_inertia(m, hx, hy, hz):
+        return (m / 3.0) * jnp.diag(
+            jnp.array([hy * hy + hz * hz, hx * hx + hz * hz, hx * hx + hy * hy])
+        )
+
+    joints = [
+        dict(
+            type=FREEFLYER, parent=-1,
+            mass=base_mass, com=jnp.zeros(3),
+            inertia=box_inertia(base_mass, lx, ly, lz),
+        )
+    ]
+    frames = []
+
+    # Panda chain (relative placements & identified inertials, as in
+    # make_panda); per-joint (placement_p, rpy, mass, com, s):
+    chain = [
+        (jnp.array([0.0, 0.0, 0.333]), (0.0, 0.0, 0.0),
+         4.970684, jnp.array([0.003875, 0.002081, -0.04762]), 0.08),
+        (jnp.zeros(3), (-half_pi, 0.0, 0.0),
+         0.646926, jnp.array([-0.003141, -0.02872, 0.003495]), 0.07),
+        (jnp.array([0.0, -0.316, 0.0]), (half_pi, 0.0, 0.0),
+         3.228604, jnp.array([0.027518, 0.039252, -0.066502]), 0.07),
+        (jnp.array([0.0825, 0.0, 0.0]), (half_pi, 0.0, 0.0),
+         3.587895, jnp.array([-0.05317, 0.104419, 0.027454]), 0.07),
+        (jnp.array([-0.0825, 0.384, 0.0]), (-half_pi, 0.0, 0.0),
+         1.225946, jnp.array([-0.011953, 0.041065, -0.038437]), 0.06),
+        (jnp.zeros(3), (half_pi, 0.0, 0.0),
+         1.666555, jnp.array([0.060149, -0.014117, -0.010517]), 0.06),
+        (jnp.array([0.088, 0.0, 0.0]), (half_pi, 0.0, 0.0),
+         0.735522, jnp.array([0.010517, -0.004252, 0.061597]), 0.05),
+    ]
+
+    def inert(m, s):
+        return m * jnp.diag(jnp.array([s * s, s * s, 0.5 * s * s]))
+
+    for k, (name, sy) in enumerate((("arm1", +1.0), ("arm2", -1.0))):
+        parent = 0  # base
+        for i, (pp, rpy, mass, com, s) in enumerate(chain):
+            d = dict(
+                type=REVOLUTE, parent=parent, axis=z,
+                mass=mass, com=com, inertia=inert(mass, s),
+            )
+            if i == 0:
+                # mount on the ±y face, first joint axis along world ±y
+                d["placement_p"] = jnp.array([0.0, sy * mount_y, mount_z])
+                d["placement_q"] = _rpy_quat(-sy * half_pi, 0.0, 0.0)
+            else:
+                d["placement_p"] = pp
+                r, p_, y_ = rpy
+                d["placement_q"] = _rpy_quat(r, p_, y_)
+            joints.append(d)
+            parent = len(joints) - 1
+        frames.append(
+            dict(
+                name=f"{name}_tool", parent=parent,
+                placement_p=jnp.array([0.0, 0.0, 0.107]),
+            )
+        )
+    frames.append(dict(name="base", parent=0))
+    return make_model(joints, frames, gravity=(0.0, 0.0, 0.0))
+
+
+# nominal arm postures from the vendored application
+# (dual-FFSR_ProxDDP/main3.py desired_qpos_arm1/arm2)
+FFSR_Q_ARM1 = np.array([-1.6591, -0.8973, -0.2357, 1.1626, -1.9025, -0.5507, 0.8034])
+FFSR_Q_ARM2 = np.array([-2.209, -0.5691, 0.3233, 1.1195, -2.0471, -0.0263, 0.7434])
+
+
 def make_free_sphere(mass=1.0, radius=0.2) -> RobotModel:
     """Free-floating rigid body (validation of free-flyer dynamics:
     momentum conservation, ballistic CoM)."""

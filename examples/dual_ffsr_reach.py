@@ -1,0 +1,169 @@
+"""Dual-arm free-floating space robot (FFSR) reach — the reference fork's
+vendored application workload, TPU-native.
+
+Counterpart of ``dual-FFSR_ProxDDP/main3.py``: a free-flyer satellite bus
+with two 7-DOF arms in zero gravity performs a coordinated reach with both
+tool frames, under torque box bounds and (optionally) a capsule obstacle
+constraint. The base is unactuated (actuation matrix selects the 14 arm
+torques only), so every arm motion exchanges momentum with the bus — the
+solver must coordinate base drift and arm trajectories, exactly the coupling
+the vendored app studies.
+
+The reference app builds the model from MJCF via Pinocchio and uses
+``aligator.FramePlacementResidual`` + control bounds + FCL collision pairs;
+here the model is the hand-authored :func:`make_dual_arm_ffsr` (Panda-chain
+arms) and the same residual/constraint zoo from this framework.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from aligator_tpu import core
+from aligator_tpu.modelling import IntegratorSemiImplEuler
+from aligator_tpu.modelling.dynamics.multibody_free import MultibodyFreeFwdDynamics
+from aligator_tpu.modelling.multibody import model as rbd
+from aligator_tpu.modelling.multibody.extra_residuals import FrameCollisionResidual
+from aligator_tpu.modelling.multibody.residuals import (
+    FramePlacementResidual,
+    FrameVelocityResidual,
+)
+from aligator_tpu.modelling.multibody.robots import (
+    FFSR_Q_ARM1,
+    FFSR_Q_ARM2,
+    make_dual_arm_ffsr,
+)
+
+
+def create_ffsr_problem(
+    nsteps=60,
+    timestep=0.05,
+    with_collision=False,
+    dtype=jnp.float64,
+):
+    """Coordinated dual-tool reach from the vendored app's nominal arm
+    postures to displaced world-frame target poses."""
+    model = make_dual_arm_ffsr()
+    nv = model.nv  # 20
+    nu = nv - 6  # 14: base unactuated
+    space = model.phase_space()
+
+    actuation = jnp.eye(nv, nu, -6, dtype=dtype)
+    dyn_ode = MultibodyFreeFwdDynamics(model=model, actuation=actuation)
+    dyn = IntegratorSemiImplEuler(
+        ode=dyn_ode, timestep=jnp.asarray(timestep, dtype)
+    )
+
+    q0 = model.neutral().astype(dtype)
+    q0 = q0.at[7:14].set(jnp.asarray(FFSR_Q_ARM1, dtype))
+    q0 = q0.at[14:21].set(jnp.asarray(FFSR_Q_ARM2, dtype))
+    x0 = jnp.concatenate([q0, jnp.zeros((nv,), dtype)])
+
+    # reachable targets: FK of a perturbed arm posture (base at neutral),
+    # so the task demands coordinated base/arm momentum exchange
+    dq = jnp.zeros_like(q0)
+    dq = dq.at[jnp.array([8, 10, 12])].set(jnp.asarray([0.35, -0.3, 0.25], dtype))
+    dq = dq.at[jnp.array([15, 17, 19])].set(jnp.asarray([-0.3, 0.3, -0.2], dtype))
+    q_tgt = q0 + dq
+    targets = {}
+    for name in ("arm1_tool", "arm2_tool"):
+        R_t, p_t = rbd.frame_placement(model, q_tgt, model.frame_id(name))
+        targets[name] = (R_t.astype(dtype), p_t.astype(dtype))
+
+    pose_res = {
+        name: FramePlacementResidual(
+            model=model, R_ref=targets[name][0], p_ref=targets[name][1],
+            frame_id=model.frame_id(name),
+        )
+        for name in targets
+    }
+    vel_res = {
+        name: FrameVelocityResidual(
+            model=model, v_ref=jnp.zeros((6,), dtype),
+            frame_id=model.frame_id(name),
+        )
+        for name in targets
+    }
+
+    w6 = jnp.eye(6, dtype=dtype)
+    rcost = core.CostStack.create(
+        core.QuadraticResidualCost(
+            residual=pose_res["arm1_tool"], weights=5.0 * w6 * timestep
+        ),
+        core.QuadraticResidualCost(
+            residual=pose_res["arm2_tool"], weights=5.0 * w6 * timestep
+        ),
+        core.QuadraticControlCost(1e-3 * jnp.eye(nu, dtype=dtype) * timestep),
+    )
+    term_cost = core.CostStack.create(
+        core.QuadraticResidualCost(
+            residual=pose_res["arm1_tool"], weights=200.0 * w6
+        ),
+        core.QuadraticResidualCost(
+            residual=pose_res["arm2_tool"], weights=200.0 * w6
+        ),
+        core.QuadraticResidualCost(
+            residual=vel_res["arm1_tool"], weights=20.0 * w6
+        ),
+        core.QuadraticResidualCost(
+            residual=vel_res["arm2_tool"], weights=20.0 * w6
+        ),
+    )
+
+    # torque bounds (the app's --bounds flag; Panda-scale efforts)
+    u_max = jnp.asarray(
+        [87.0, 87.0, 87.0, 87.0, 12.0, 12.0, 12.0] * 2, dtype
+    )
+    constraints = [
+        (
+            core.ControlErrorResidual(target=jnp.zeros((nu,), dtype)),
+            core.BoxConstraint(lower=-u_max, upper=u_max),
+        ),
+    ]
+    if with_collision:
+        # capsule obstacle ahead of the bus (the app's box obstacle, here a
+        # capsule as in frame-collision.hpp); keep arm-1 tool clear of it
+        seg_a = jnp.asarray(targets["arm1_tool"][1], dtype) + jnp.array(
+            [0.3, 0.0, -0.5], dtype
+        )
+        seg_b = seg_a + jnp.array([0.0, 0.0, 1.0], dtype)
+        coll = FrameCollisionResidual(
+            model=model, seg_a=seg_a, seg_b=seg_b,
+            radius=jnp.asarray(0.15, dtype),
+            frame_id=model.frame_id("arm1_tool"),
+        )
+        constraints.append((coll, core.NegativeOrthant()))
+
+    stage = core.make_stage(rcost, dyn, space, nu, tuple(constraints))
+    problem = core.make_problem(x0, stage, nsteps, term_cost)
+    return problem, model, targets
+
+
+if __name__ == "__main__":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    from aligator_tpu import solvers
+
+    problem, model, targets = create_ffsr_problem(nsteps=60)
+    # monotone Armijo: the nonmonotone default admits a Gauss-Newton limit
+    # cycle on this strongly-coupled rotation task
+    cfg = solvers.ProxDDPConfig(
+        tol=1e-4, mu_init=1e-2, max_iters=120, rollout="nonlinear",
+        ls_strategy="armijo",
+    )
+    res = solvers.solve(problem, cfg)
+    print("conv:", bool(res.conv), "iters:", int(res.num_iters))
+    print("prim:", float(res.prim_infeas), "dual:", float(res.dual_infeas))
+    qN = res.xs[-1][: model.nq]
+    for name, (R_t, p_t) in targets.items():
+        R, p = rbd.frame_placement(model, qN, model.frame_id(name))
+        print(
+            f"{name}: pos err {float(jnp.linalg.norm(p - p_t)):.2e}  "
+            f"rot err {float(jnp.linalg.norm(R - R_t)):.2e}"
+        )
+    # free-floating physics: the unactuated base must drift to conserve
+    # momentum (initial momentum is zero, no external forces)
+    base_drift = float(jnp.linalg.norm(res.xs[-1][:3] - res.xs[0][:3]))
+    print("base drift:", base_drift)
+    print("max |tau|:", float(np.max(np.abs(np.asarray(res.us)))))
