@@ -48,3 +48,22 @@ def plot_velocity_traj(times, vs, ax=None):
     ax.set_xlabel("time")
     ax.legend()
     return ax
+
+
+def plot_se2_pose(q, ax, alpha=0.5, fc="tab:blue", width=1.0, height=0.4):
+    """Draw an oriented box at an SE(2) state q = (x, y, cosθ, sinθ)
+    (counterpart of the reference's ``plot_se2_pose``; used by the se2-car
+    example to visualize parking trajectories)."""
+    import matplotlib.pyplot as plt
+    from matplotlib import transforms
+
+    q = np.asarray(q)
+    theta = np.arctan2(q[3], q[2])
+    rect = plt.Rectangle(
+        (q[0] - 0.5 * width, q[1] - 0.5 * height), width, height,
+        fc=fc, alpha=alpha,
+    )
+    tr = transforms.Affine2D().rotate_around(q[0], q[1], theta) + ax.transData
+    rect.set_transform(tr)
+    ax.add_patch(rect)
+    return rect
