@@ -109,13 +109,18 @@ def test_condensed_refinement_fp32():
     prob = gar.random_problem(
         jax.random.PRNGKey(5), N, nx, nu, nc, dtype=jnp.float32
     )
-    xs_s, us_s, _, _ = gar.solve(prob, 1e-2, 1e-2, assume_explicit=True)
     xs_p, us_p, _, _ = parallel.solve(
         prob, 1e-2, 1e-2, legs=16, assume_explicit=True, refine_steps=2
     )
-    scale = jnp.max(jnp.abs(us_s))
-    assert jnp.max(jnp.abs(us_p - us_s)) / scale < 1e-5
-    assert jnp.max(jnp.abs(xs_p - xs_s)) / jnp.max(jnp.abs(xs_s)) < 1e-5
+    # ground truth: the fp64 serial solve (the fp32 serial path carries its
+    # own ~1e-5 rounding noise, so parallel-vs-serial in fp32 only bounds
+    # the SUM of both errors; truth-referenced bounds are the honest check)
+    prob64 = jax.tree.map(
+        lambda a: a.astype(jnp.float64) if a.dtype == jnp.float32 else a, prob
+    )
+    xs_t, us_t, _, _ = gar.solve(prob64, 1e-2, 1e-2, assume_explicit=True)
+    assert jnp.max(jnp.abs(us_p - us_t)) / jnp.max(jnp.abs(us_t)) < 1e-5
+    assert jnp.max(jnp.abs(xs_p - xs_t)) / jnp.max(jnp.abs(xs_t)) < 1e-5
 
 
 @pytest.mark.parametrize("legs,N", [(3, 9), (4, 12), (5, 15)])
