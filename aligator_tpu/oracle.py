@@ -89,6 +89,26 @@ class _Model:
     def integrate(self, xs, dxs):
         return _np(self._integrate(jnp.asarray(xs), jnp.asarray(dxs)))
 
+    def integrate1(self, x, dx):
+        return _np(self._integrate(jnp.asarray(x)[None], jnp.asarray(dx)[None]))[0]
+
+    def difference(self, x0, x1):
+        if not hasattr(self, "_difference"):
+            self._difference = jax.jit(
+                lambda a, b: self.problem.space.difference(a, b)
+            )
+        return _np(self._difference(jnp.asarray(x0), jnp.asarray(x1)))
+
+    def dyn_forward(self, t, x, u):
+        """x' = f_t(x, u) through stage t's dynamics (explicit)."""
+        if not hasattr(self, "_dyn_fwd"):
+            def fwd(t_, x_, u_):
+                stage = jax.tree.map(lambda a: a[t_], self.problem.stages)
+                return stage.dynamics.forward(self.space, x_, u_)
+
+            self._dyn_fwd = jax.jit(fwd)
+        return _np(self._dyn_fwd(jnp.asarray(t), jnp.asarray(x), jnp.asarray(u)))
+
     def cstr_projection(self, mu, shifted):
         cset = self.problem.stages.constraint_set().set_prox_parameter(mu)
         proj = cset.normal_cone_projection(jnp.asarray(shifted))
@@ -548,4 +568,193 @@ class NumpyProxDDP:
             xs_hist=xs_hist, us_hist=us_hist, xs=xs, us=us, vs=vs, lams=lams,
             conv=bool(conv), num_iters=it, prim_infeas=float(prim),
             dual_infeas=float(dual),
+        )
+
+
+@dataclasses.dataclass
+class FDDPOracleTrace:
+    us_hist: list
+    xs: np.ndarray
+    us: np.ndarray
+    conv: bool
+    num_iters: int
+    prim_infeas: float
+    dual_infeas: float
+    traj_cost: float
+
+
+class NumpyFDDP:
+    """Reference FDDP in NumPy — the parity oracle for the second solver.
+
+    Independent re-implementation of ``SolverFDDPTpl`` (reference
+    ``solvers/fddp/solver-fddp.hxx``): multiple-shooting gaps
+    (``computeInfeasibility``, :167), backward DDP sweep with Q-function
+    regularization (:203), the gap-contracting rollout (:58), the
+    Mastalli-style expected-improvement linesearch
+    (``solvers/fddp/linesearch.hpp:13``) and the step-driven regularization
+    schedule — written as plain Python loops over stages with
+    ``numpy.linalg`` factorizations, sharing only the model boundary
+    (cost/dynamics derivatives, manifold ops) with the JAX solver. Used by
+    ``tests/test_fddp.py`` to certify that the vectorized `lax.while_loop`
+    solver reproduces the loop-form algorithm decision-for-decision
+    (same iteration count, same accepted steps, matching controls).
+    """
+
+    def __init__(self, problem, cfg):
+        self.problem = problem
+        self.cfg = cfg
+        self.model = _Model(problem)
+        self.N = problem.nsteps
+        self.ndx = problem.space.ndx
+        self.nu = problem.nu
+
+    def _gaps(self, xs, us):
+        fs = np.zeros((self.N + 1, self.ndx))
+        fs[0] = self.model.difference(xs[0], _np(self.problem.x0))
+        for t in range(self.N):
+            xnext = self.model.dyn_forward(t, xs[t], us[t])
+            fs[t + 1] = self.model.difference(xs[t + 1], xnext)
+        return fs
+
+    def _backward(self, data, fs, preg):
+        N, ndx, nu = self.N, self.ndx, self.nu
+        Vxx = data.Lxx[N] + preg * np.eye(ndx)
+        ftVxxN = Vxx @ fs[N]
+        Vx = data.Lx[N] + ftVxxN
+        out = dict(
+            kff=np.zeros((N, nu)), K=np.zeros((N, nu, ndx)),
+            Qu=np.zeros((N, nu)), Quuk=np.zeros((N, nu)),
+            Vx=np.zeros((N, ndx)), ftVxx=np.zeros((N, ndx)), ftVxxN=ftVxxN,
+        )
+        for t in reversed(range(N)):
+            F = np.linalg.solve(
+                -data.E[t], np.concatenate([data.A[t], data.B[t]], axis=1)
+            )
+            Fx, Fu = F[:, :ndx], F[:, ndx:]
+            Qx = data.Lx[t] + Fx.T @ Vx
+            Qu = data.Lu[t] + Fu.T @ Vx
+            Qxx = data.Lxx[t] + Fx.T @ Vxx @ Fx
+            Qxu = data.Lxu[t] + Fx.T @ Vxx @ Fu
+            Quu = data.Luu[t] + Fu.T @ Vxx @ Fu + preg * np.eye(nu)
+            Quu = 0.5 * (Quu + Quu.T)
+            kff = -np.linalg.solve(Quu, Qu)
+            K = -np.linalg.solve(Quu, Qxu.T)
+            Vx_new = Qx + K.T @ Qu
+            Vxx_new = Qxx + Qxu @ K
+            Vxx_new = 0.5 * (Vxx_new + Vxx_new.T) + preg * np.eye(ndx)
+            ftVxx = Vxx_new @ fs[t]
+            Vx_new = Vx_new + ftVxx
+            out["kff"][t], out["K"][t] = kff, K
+            out["Qu"][t] = Qu
+            out["Quuk"][t] = Quu @ kff
+            out["Vx"][t] = Vx_new
+            out["ftVxx"][t] = ftVxx
+            Vx, Vxx = Vx_new, Vxx_new
+        return out
+
+    def _forward(self, xs, us, fs, bw, alpha):
+        """Gap-contracting rollout (reference forwardPass, solver-fddp.hxx:58)."""
+        N = self.N
+        xs_t = np.zeros_like(xs)
+        us_t = np.zeros_like(us)
+        dxs = np.zeros((N + 1, self.ndx))
+        x_try = self.model.integrate1(xs[0], alpha * fs[0])
+        dx = alpha * fs[0]
+        for t in range(N):
+            xs_t[t] = x_try
+            dxs[t] = dx
+            us_t[t] = us[t] + alpha * bw["kff"][t] + bw["K"][t] @ dx
+            xnext = self.model.dyn_forward(t, x_try, us_t[t])
+            x_try = self.model.integrate1(xnext, (alpha - 1.0) * fs[t + 1])
+            dx = self.model.difference(xs[t + 1], x_try)
+        xs_t[N] = x_try
+        dxs[N] = dx
+        cost = float(self.model.evaluate(xs_t, us_t).cost)
+        return xs_t, us_t, dxs, cost
+
+    def solve(self, xs_init=None, us_init=None):
+        cfg, N = self.cfg, self.N
+        xs = (
+            np.tile(_np(self.problem.x0), (N + 1, 1))
+            if xs_init is None else _np(xs_init)
+        )
+        us = np.zeros((N, self.nu)) if us_init is None else _np(us_init)
+        cost = float(self.model.evaluate(xs, us).cost)
+        preg = cfg.reg_init
+        conv = False
+        fail = False
+        it = 0
+        us_hist = []
+
+        while it < cfg.max_iters and not conv and not fail:
+            data = self.model.derivatives(xs, us)
+            fs = self._gaps(xs, us)
+            prim = float(np.max(np.abs(fs)))
+            bw = self._backward(data, fs, preg)
+            dual = float(np.max(np.abs(bw["Qu"])))
+            if max(prim, dual) < cfg.tol:
+                conv = True
+                it += 1
+                break
+
+            phi0 = cost
+            dg = (
+                np.sum(bw["Qu"] * bw["kff"]) + np.sum(bw["Vx"] * fs[:N])
+                + bw["ftVxxN"] @ fs[N] + data.Lx[N] @ fs[N]
+            )
+            dq = np.sum(bw["kff"] * bw["Quuk"]) - (
+                np.sum(fs[:N] * bw["ftVxx"]) + fs[N] @ bw["ftVxxN"]
+            )
+
+            def try_alpha(alpha):
+                xs_t, us_t, dxs, c = self._forward(xs, us, fs, bw, alpha)
+                dv = -(np.sum(dxs[:N] * bw["ftVxx"]) + dxs[N] @ bw["ftVxxN"])
+                d1 = dg + dv
+                d2 = dq - 2.0 * dv
+                model = phi0 + alpha * (d1 + 0.5 * d2 * alpha)
+                return xs_t, us_t, c, model, d1
+
+            def accept_step(c, model, d1):
+                if not np.isfinite(c):
+                    return False
+                dVreal, dVmodel = c - phi0, model - phi0
+                if dVmodel < 0.0:
+                    return (
+                        abs(d1) < cfg.th_grad
+                        or dVreal <= cfg.th_accept_step * dVmodel
+                    )
+                return dVreal <= cfg.th_accept_neg_step * dVmodel
+
+            alpha = 1.0
+            xs_t, us_t, c, model, d1 = try_alpha(alpha)
+            accept = accept_step(c, model, d1)
+            while not accept and alpha > cfg.ls_alpha_min * (1 + 1e-10):
+                alpha = max(alpha * cfg.ls_beta, cfg.ls_alpha_min)
+                xs_t, us_t, c, model, d1 = try_alpha(alpha)
+                accept = accept_step(c, model, d1)
+
+            if np.isfinite(c):
+                xs, us, cost = xs_t, us_t, c
+            conv = conv or abs(d1) < cfg.th_grad
+
+            if alpha > cfg.th_step_dec:
+                preg = max(preg * cfg.reg_dec_factor, cfg.reg_min)
+            inc = alpha <= cfg.th_step_inc
+            if inc:
+                preg = min(preg * cfg.reg_inc_factor, cfg.reg_max)
+                fail = preg >= cfg.reg_max
+            it += 1
+            us_hist.append(us.copy())
+
+        data = self.model.derivatives(xs, us)
+        fs = self._gaps(xs, us)
+        bw = self._backward(data, fs, preg)
+        prim = float(np.max(np.abs(fs)))
+        dual = float(np.max(np.abs(bw["Qu"])))
+        conv = conv or max(prim, dual) < cfg.tol
+
+        return FDDPOracleTrace(
+            us_hist=us_hist, xs=xs, us=us, conv=bool(conv), num_iters=it,
+            prim_infeas=prim, dual_infeas=dual,
+            traj_cost=float(self.model.evaluate(xs, us).cost),
         )

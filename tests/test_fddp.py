@@ -48,3 +48,40 @@ def test_fddp_jit_vmap():
     x0s = jnp.array([[1.0, 0.0], [-0.5, 0.25]], jnp.float64)
     res = batch(x0s)
     assert bool(jnp.all(res.conv))
+
+
+def test_fddp_parity_oracle_lqr():
+    """JAX FDDP vs the independent NumPy FDDP oracle on LQR: identical
+    iteration count, matching final controls (the reference cross-solver
+    test strategy extended to the second solver)."""
+    import numpy as np
+
+    from aligator_tpu.oracle import NumpyFDDP
+
+    problem = make_lqr(nsteps=25)
+    cfg = fddp.FDDPConfig(tol=1e-9, max_iters=30)
+    res = fddp.solve(problem, cfg)
+    tr = NumpyFDDP(problem, cfg).solve()
+    assert bool(res.conv) and tr.conv
+    assert int(res.num_iters) == tr.num_iters
+    assert np.max(np.abs(np.asarray(res.us) - tr.us)) < 1e-8
+    assert np.max(np.abs(np.asarray(res.xs) - tr.xs)) < 1e-8
+
+
+def test_fddp_parity_oracle_cartpole():
+    """Nonlinear workload: unconstrained cartpole swing-up — the oracle's
+    gap-contracting rollout and expected-improvement linesearch must make
+    the same accept/contract decisions as the vectorized solver."""
+    import numpy as np
+
+    from aligator_tpu.oracle import NumpyFDDP
+    from examples.cartpole import create_cartpole_problem
+
+    problem = create_cartpole_problem(nsteps=40, u_bound=None)
+    cfg = fddp.FDDPConfig(tol=1e-6, max_iters=60)
+    res = fddp.solve(problem, cfg)
+    tr = NumpyFDDP(problem, cfg).solve()
+    assert bool(res.conv) and tr.conv
+    assert int(res.num_iters) == tr.num_iters
+    assert np.max(np.abs(np.asarray(res.us) - tr.us)) < 1e-4
+    assert np.max(np.abs(np.asarray(res.xs) - tr.xs)) < 1e-4
