@@ -98,46 +98,26 @@ def _reduced_kkt_solve(Rhat, D, mueq, rhs_u, rhs_c):
 
 
 def _terminal_solve(kn, t, mueq, nth):
-    """Terminal-stage factor (reference terminalSolve, riccati-kernel.hxx:89).
-
-    All right-hand sides go through ONE packed reduced-KKT solve (see the
-    panel-packing note on :func:`_stage_kernel`)."""
+    """Terminal-stage factor (reference terminalSolve, riccati-kernel.hxx:89)."""
     Q, S, R = kn.Q[t], kn.S[t], kn.R[t]
     q, r = kn.q[t], kn.r[t]
     C, D, d = kn.C[t], kn.D[t], kn.d[t]
-    nx = Q.shape[-1]
-    dt = Q.dtype
 
-    rhs_u = [-r[:, None], -S.T]
-    rhs_c = [-d[:, None], -C]
-    if nth > 0:
-        Gx, Gu, Gth, gamma = kn.Gx[t], kn.Gu[t], kn.Gth[t], kn.gamma[t]
-        rhs_u.append(-Gu)
-        rhs_c.append(jnp.zeros((D.shape[0], Gu.shape[1]), dt))
-    Up, Np = _reduced_kkt_solve(
-        R, D, mueq,
-        jnp.concatenate(rhs_u, axis=-1),
-        jnp.concatenate(rhs_c, axis=-1),
-    )
-    kff, K = Up[:, 0], Up[:, 1 : 1 + nx]
-    zff, Z = Np[:, 0], Np[:, 1 : 1 + nx]
+    kff, zff = _reduced_kkt_solve(R, D, mueq, -r, -d)
+    K, Z = _reduced_kkt_solve(R, D, mueq, -S.T, -C)
 
-    # [p | P] = [q | Q] + S [kff | K] + C' [zff | Z]
-    PP = (
-        jnp.concatenate([q[:, None], Q], axis=-1)
-        + S @ Up[:, : 1 + nx]
-        + C.T @ Np[:, : 1 + nx]
-    )
-    P = _sym(PP[:, 1:])
-    p = PP[:, 0]
+    P = _sym(Q + C.T @ Z + S @ K)
+    p = q + C.T @ zff + S @ kff
 
     out = dict(kff=kff, K=K, zff=zff, Z=Z, Pmat=P, pvec=p)
     if nth > 0:
-        Kth, Zth = Up[:, 1 + nx :], Np[:, 1 + nx :]
-        GuU = Gu.T @ Up  # [Gu'kff | Gu'K | Gu'Kth]
-        Vxt = Gx + GuU[:, 1 : 1 + nx].T
-        Vtt = Gth + GuU[:, 1 + nx :]
-        vt = gamma + GuU[:, 0]
+        Gx, Gu, Gth, gamma = kn.Gx[t], kn.Gu[t], kn.Gth[t], kn.gamma[t]
+        Kth, Zth = _reduced_kkt_solve(
+            R, D, mueq, -Gu, jnp.zeros((D.shape[0], Gu.shape[1]), Gu.dtype)
+        )
+        Vxt = Gx + K.T @ Gu
+        Vtt = Gth + Gu.T @ Kth
+        vt = gamma + Gu.T @ kff
         out.update(Kth=Kth, Zth=Zth, Vxt=Vxt, Vtt=Vtt, vt=vt)
     return out
 
@@ -147,13 +127,11 @@ def _stage_kernel(knot, carry, mudyn, mueq, assume_explicit, nth):
     riccati-kernel.hxx:166). ``carry`` holds the next stage's value function
     (P, p) and, if parametric, (Vxt, Vtt, vt).
 
-    TPU panel packing: on TPU every (·, k) array with k ≤ 128 pads its lane
-    dimension to 128, so a batched matmul costs the same for 1 or 128
-    right-hand columns (measured flat 12→128 at nx = 36). The kernel
-    therefore stacks every same-shaped product into one wide panel op —
-    one packed Schur solve, one packed reduced-KKT solve, and [A|B]-panel
-    GEMMs — cutting the per-stage op count ~2.5× with bit-identical math
-    (same factorizations, same association order per block)."""
+    Keep the products SEPARATE: packing them into ≤128-wide panels
+    (one Schur solve, one reduced-KKT solve, [A|B] GEMMs) was measured
+    SLOWER end-to-end on v5e — +60% at nx=4, +40% at nx=36 — because the
+    per-stage concatenate/slice copies cost more HBM traffic than the
+    merged matmuls save (see README "medium-dim Riccati roofline")."""
     Q, S, R = knot["Q"], knot["S"], knot["R"]
     q, r = knot["q"], knot["r"]
     A, B, E, f = knot["A"], knot["B"], knot["E"], knot["f"]
@@ -163,94 +141,43 @@ def _stage_kernel(knot, carry, mudyn, mueq, assume_explicit, nth):
     dt = Q.dtype
     eye = jnp.eye(nx, dtype=dt)
 
-    if nth > 0:
-        Gx, Gu, Gth, gamma = knot["Gx"], knot["Gu"], knot["Gth"], knot["gamma"]
-        Vxt_n, Vtt_n, vt_n = carry["Vxt"], carry["Vtt"], carry["vt"]
-
     if assume_explicit:
         # E = -I: E^{-1} = E^{-T} = -I
         Ptilde = P_n
         ptilde = p_n
-        Pxt_pre = Vxt_n if nth > 0 else None
         Einv = None
     else:
         Einv = smallmat.inv(E) if nx <= smallmat._CLOSED_FORM_MAX else jnp.linalg.solve(E, eye)
         Ptilde = _sym(Einv.T @ P_n @ Einv)
         ptilde = -(Einv.T @ p_n)
-        Pxt_pre = -(Einv.T @ Vxt_n) if nth > 0 else None
 
-    # ONE packed SPD solve: RHS = [Ptilde | ptilde + Ptilde f | Pxt_pre]
     schur = eye + mudyn * Ptilde
-    rhs = [Ptilde, (ptilde + Ptilde @ f)[:, None]]
-    if nth > 0:
-        rhs.append(Pxt_pre)
-    Xp = _chol_solve(_sym_pd(schur), jnp.concatenate(rhs, axis=-1))
-    Vxx = _sym(Xp[:, :nx])
-    vx = Xp[:, nx]
-    Pxttilde = Xp[:, nx + 1 :] if nth > 0 else None
+    schur_solve = _spd_solver(_sym_pd(schur))
+    Vxx = _sym(schur_solve(Ptilde))
+    vx = schur_solve(ptilde + Ptilde @ f)
 
-    # hat quantities via the [A|B] panel:
-    #   Yp = [A|B]' [Vxx | vx | Pxttilde];  H = [[Q,S],[S',R]] + Yp[:,:nx] [A|B]
-    G = jnp.concatenate([A, B], axis=-1)
-    Yp = G.T @ Xp
-    H = (
-        jnp.concatenate(
-            [
-                jnp.concatenate([Q, S], axis=-1),
-                jnp.concatenate([S.T, R], axis=-1),
-            ],
-            axis=-2,
-        )
-        + Yp[:, :nx] @ G
-    )
-    Qhat = _sym(H[:nx, :nx])
-    Shat = H[:nx, nx:]
-    Rhat = H[nx:, nx:]
-    qhat = q + Yp[:nx, nx]
-    rhat = r + Yp[nx:, nx]
+    AtV = A.T @ Vxx
+    BtV = B.T @ Vxx
+    Qhat = Q + AtV @ A
+    Rhat = R + BtV @ B
+    Shat = S + AtV @ B
+    qhat = q + A.T @ vx
+    rhat = r + B.T @ vx
 
-    # ONE packed reduced-KKT solve: columns [ff | feedback | θ]
-    rhs_u = [-rhat[:, None], -Shat.T]
-    rhs_c = [-d[:, None], -C]
-    if nth > 0:
-        Guhat = Gu + Yp[nx:, nx + 1 :]
-        rhs_u.append(-Guhat)
-        rhs_c.append(jnp.zeros((D.shape[0], Guhat.shape[1]), dt))
-    Up, Np = _reduced_kkt_solve(
-        Rhat, D, mueq,
-        jnp.concatenate(rhs_u, axis=-1),
-        jnp.concatenate(rhs_c, axis=-1),
-    )
-    kff, K = Up[:, 0], Up[:, 1 : 1 + nx]
-    zff, Z = Np[:, 0], Np[:, 1 : 1 + nx]
+    kff, zff = _reduced_kkt_solve(Rhat, D, mueq, -rhat, -d)
+    K, Z = _reduced_kkt_solve(Rhat, D, mueq, -Shat.T, -C)
 
-    # costate panel [lff | L | Lth] = Vxx ([B kff | A + B K | B Kth]) + [vx | 0 | Pxttilde]
-    Mp = B @ Up
-    Mp = Mp.at[:, 1 : 1 + nx].add(A)
-    Lp = Vxx @ Mp
-    Lp = Lp.at[:, 0].add(vx)
-    if nth > 0:
-        Lp = Lp.at[:, 1 + nx :].add(Pxttilde)
+    lff = vx + Vxx @ (B @ kff)
+    L = Vxx @ A + Vxx @ (B @ K)
+    if assume_explicit:
+        yff = f + B @ kff - mudyn * lff
+        Afb = A + B @ K - mudyn * L
+    else:
+        yff = -(Einv @ (f + B @ kff - mudyn * lff))
+        Afb = -(Einv @ (A + B @ K - mudyn * L))
 
-    # next-state panel [yff | Afb | Yth] = ±E^{-1}(Mp + [f|0|0] − μ_dyn Lp)
-    Yfb = Mp - mudyn * Lp
-    Yfb = Yfb.at[:, 0].add(f)
-    if not assume_explicit:
-        Yfb = -(Einv @ Yfb)
-    yff = Yfb[:, 0]
-    Afb = Yfb[:, 1 : 1 + nx]
-
-    lff = Lp[:, 0]
-    L = Lp[:, 1 : 1 + nx]
-
-    # value update panel [p_c | P_c] = [qhat | Qhat] + Shat [kff | K] + C' [zff | Z]
-    PP = (
-        jnp.concatenate([qhat[:, None], Qhat], axis=-1)
-        + Shat @ Up[:, : 1 + nx]
-        + C.T @ Np[:, : 1 + nx]
-    )
-    P_c = _sym(PP[:, 1:])
-    p_c = PP[:, 0]
+    P_c = _sym(Qhat + Shat @ K + C.T @ Z)
+    p_c = qhat + Shat @ kff + C.T @ zff
 
     new_carry = dict(P=P_c, p=p_c)
     out = dict(
@@ -259,16 +186,26 @@ def _stage_kernel(knot, carry, mudyn, mueq, assume_explicit, nth):
     )
 
     if nth > 0:
-        Kth, Zth = Up[:, 1 + nx :], Np[:, 1 + nx :]
-        Lth = Lp[:, 1 + nx :]
-        Yth = Yfb[:, 1 + nx :]
+        Gx, Gu, Gth, gamma = knot["Gx"], knot["Gu"], knot["Gth"], knot["gamma"]
+        Vxt_n, Vtt_n, vt_n = carry["Vxt"], carry["Vtt"], carry["vt"]
+        if assume_explicit:
+            Pxttilde = Vxt_n
+        else:
+            Pxttilde = -(Einv.T @ Vxt_n)
+        Pxttilde = schur_solve(Pxttilde)
+        Guhat = Gu + B.T @ Pxttilde
+        Kth, Zth = _reduced_kkt_solve(
+            Rhat, D, mueq, -Guhat, jnp.zeros((D.shape[0], Guhat.shape[1]), dt)
+        )
+        Lth = Pxttilde + Vxx @ (B @ Kth)
+        if assume_explicit:
+            Yth = B @ Kth - mudyn * Lth
+        else:
+            Yth = -(Einv @ (B @ Kth - mudyn * Lth))
 
-        # θ-carry via two packed products: Gu'[kff|K|Kth], Vxt'[yff|Afb|Yth]
-        GuU = Gu.T @ Up
-        VY = Vxt_n.T @ Yfb
-        vt_c = vt_n + gamma + GuU[:, 0] + VY[:, 0]
-        Vxt_c = Gx + GuU[:, 1 : 1 + nx].T + VY[:, 1 : 1 + nx].T
-        Vtt_c = Gth + Vtt_n + GuU[:, 1 + nx :] + VY[:, 1 + nx :]
+        vt_c = vt_n + gamma + Gu.T @ kff + Vxt_n.T @ yff
+        Vxt_c = Gx + K.T @ Gu + Afb.T @ Vxt_n
+        Vtt_c = Gth + Vtt_n + Gu.T @ Kth + Vxt_n.T @ Yth
 
         new_carry.update(Vxt=Vxt_c, Vtt=Vtt_c, vt=vt_c)
         out.update(Kth=Kth, Zth=Zth, Lth=Lth, Yth=Yth, Vxt=Vxt_c, Vtt=Vtt_c, vt=vt_c)
@@ -448,9 +385,6 @@ def forward(
     N = factors.kff.shape[0] - 1
     has_th = theta is not None and factors.Kth is not None
 
-    # NOTE: do NOT stack K/Z/L/Afb into one gain matrix here — the
-    # whole-horizon concatenates cost more HBM traffic than the packed
-    # matvec saves (measured 4× slower at nx=36 on v5e)
     def body(x, t_factors):
         u = t_factors["kff"] + t_factors["K"] @ x
         v = t_factors["zff"] + t_factors["Z"] @ x
