@@ -150,3 +150,71 @@ class CentroidalMomentumDerivativeResidual(StageFunction):
         # ḣ = ∂h/∂q·v + ∂h/∂v·a
         _, dh = jax.jvp(h_of, (z, v), (v, a))
         return dh - self.h_ref
+
+
+def _segment_segment_sqdist(p1, q1, p2, q2, eps=1e-12):
+    """Squared distance between segments [p1,q1] and [p2,q2] (Ericson's
+    clamped closest-point algorithm, differentiable through jnp.clip —
+    piecewise-smooth exactly like the hpp-fcl capsule distance the reference
+    uses)."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = jnp.dot(d1, d1)
+    e = jnp.dot(d2, d2)
+    f = jnp.dot(d2, r)
+    c = jnp.dot(d1, r)
+    b = jnp.dot(d1, d2)
+    denom = a * e - b * b
+    # parallel-safe: when denom ~ 0 pick s = 0
+    s = jnp.where(denom > eps, jnp.clip((b * f - c * e) / jnp.maximum(denom, eps), 0.0, 1.0), 0.0)
+    t = (b * s + f) / jnp.maximum(e, eps)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    # re-clamp s for the clamped t (one Gauss-Seidel pass is exact here)
+    s = jnp.where(
+        jnp.abs(t - t_cl) > 0.0,
+        jnp.clip((t_cl * b - c) / jnp.maximum(a, eps), 0.0, 1.0),
+        s,
+    )
+    diff = (p1 + s * d1) - (p2 + t_cl * d2)
+    return jnp.dot(diff, diff)
+
+
+@pytree_dataclass
+class LinkCollisionResidual(StageFunction):
+    """Self-collision between two capsules attached to robot frames:
+    r(x) = (r₁ + r₂ + margin)² − d²(capsule₁(q), capsule₂(q)), so r ≤ 0 ⇔
+    collision-free (use with NegativeOrthant).
+
+    Counterpart of the reference fork's FCL self-collision constraints
+    (``dual-FFSR_ProxDDP/main3.py:410-563`` builds group-level residuals
+    from hpp-fcl witness pairs; reference ``frame-collision.hpp:18`` is the
+    frame-vs-environment variant). Each capsule is a segment in its frame:
+    endpoints ``frame ⊕ (offset ± half_len·axis)`` with radius ``radius``.
+    """
+
+    model: rbd.RobotModel
+    axis1: jax.Array  # (3,) capsule 1 axis in frame 1
+    half_len1: jax.Array
+    radius1: jax.Array
+    axis2: jax.Array  # (3,) capsule 2 axis in frame 2
+    half_len2: jax.Array
+    radius2: jax.Array
+    offset1: jax.Array  # (3,) capsule 1 center offset in frame 1
+    offset2: jax.Array
+    margin: jax.Array
+    frame_id1: int = static_field(default=0)
+    frame_id2: int = static_field(default=0)
+
+    def value(self, space, x, u):
+        q, _ = _split_qv(self.model, x)
+        kin = rbd.kinematics(self.model, q)
+        R1, p1 = rbd.frame_placement(self.model, q, self.frame_id1, kin=kin)
+        R2, p2 = rbd.frame_placement(self.model, q, self.frame_id2, kin=kin)
+        c1 = p1 + R1 @ self.offset1
+        a1 = R1 @ (self.axis1 * self.half_len1)
+        c2 = p2 + R2 @ self.offset2
+        a2 = R2 @ (self.axis2 * self.half_len2)
+        d2 = _segment_segment_sqdist(c1 - a1, c1 + a1, c2 - a2, c2 + a2)
+        rmin = self.radius1 + self.radius2 + self.margin
+        return (rmin**2 - d2)[None]

@@ -38,6 +38,7 @@ def create_ffsr_problem(
     nsteps=60,
     timestep=0.05,
     with_collision=False,
+    with_self_collision=False,
     dtype=jnp.float64,
 ):
     """Coordinated dual-tool reach from the vendored app's nominal arm
@@ -132,6 +133,25 @@ def create_ffsr_problem(
             frame_id=model.frame_id("arm1_tool"),
         )
         constraints.append((coll, core.NegativeOrthant()))
+    if with_self_collision:
+        # the app's --collisions flag: keep the two hand capsules apart
+        from aligator_tpu.modelling.multibody.extra_residuals import (
+            LinkCollisionResidual,
+        )
+
+        z = jnp.array([0.0, 0.0, 1.0], dtype)
+        self_coll = LinkCollisionResidual(
+            model=model,
+            axis1=z, half_len1=jnp.asarray(0.12, dtype),
+            radius1=jnp.asarray(0.06, dtype),
+            axis2=z, half_len2=jnp.asarray(0.12, dtype),
+            radius2=jnp.asarray(0.06, dtype),
+            offset1=jnp.zeros(3, dtype), offset2=jnp.zeros(3, dtype),
+            margin=jnp.asarray(0.02, dtype),
+            frame_id1=model.frame_id("arm1_tool"),
+            frame_id2=model.frame_id("arm2_tool"),
+        )
+        constraints.append((self_coll, core.NegativeOrthant()))
 
     stage = core.make_stage(rcost, dyn, space, nu, tuple(constraints))
     problem = core.make_problem(x0, stage, nsteps, term_cost)

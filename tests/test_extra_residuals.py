@@ -93,3 +93,80 @@ def test_dcm_residual():
     com = rbd.center_of_mass(model, x0[:2])
     assert jnp.allclose(r0, com, atol=1e-10)
     assert bool(jnp.all(jnp.isfinite(r)))
+
+
+def test_segment_segment_sqdist():
+    """Clamped closest-point distance vs brute-force grid minimum."""
+    import numpy as np
+
+    from aligator_tpu.modelling.multibody.extra_residuals import (
+        _segment_segment_sqdist,
+    )
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        p1, q1, p2, q2 = [jnp.asarray(rng.normal(size=3)) for _ in range(4)]
+        d2 = float(_segment_segment_sqdist(p1, q1, p2, q2))
+        ss = np.linspace(0.0, 1.0, 201)
+        A = np.asarray(p1)[None] + ss[:, None] * np.asarray(q1 - p1)[None]
+        B = np.asarray(p2)[None] + ss[:, None] * np.asarray(q2 - p2)[None]
+        brute = np.min(
+            np.sum((A[:, None, :] - B[None, :, :]) ** 2, axis=-1)
+        )
+        assert abs(d2 - brute) < 1e-3 + 1e-2 * brute, (d2, brute)
+
+
+def test_link_collision_residual_self_collision():
+    """Capsule-capsule self-collision residual on the dual-arm FFSR: the
+    nominal posture is collision-free (r < 0); forcing the arms together
+    flips the sign; Jacobians check out against finite differences."""
+    import numpy as np
+
+    from aligator_tpu.modelling.autodiff import fd_stage_function_jacobians
+    from aligator_tpu.modelling.multibody.extra_residuals import (
+        LinkCollisionResidual,
+    )
+    from aligator_tpu.modelling.multibody.robots import (
+        FFSR_Q_ARM1,
+        FFSR_Q_ARM2,
+        make_dual_arm_ffsr,
+    )
+
+    model = make_dual_arm_ffsr()
+    space = model.phase_space()
+    z = jnp.array([0.0, 0.0, 1.0])
+    res = LinkCollisionResidual(
+        model=model,
+        axis1=z, half_len1=jnp.asarray(0.12), radius1=jnp.asarray(0.06),
+        axis2=z, half_len2=jnp.asarray(0.12), radius2=jnp.asarray(0.06),
+        offset1=jnp.zeros(3), offset2=jnp.zeros(3),
+        margin=jnp.asarray(0.02),
+        frame_id1=model.frame_id("arm1_tool"),
+        frame_id2=model.frame_id("arm2_tool"),
+    )
+
+    q = model.neutral()
+    q = q.at[7:14].set(jnp.asarray(FFSR_Q_ARM1)).at[14:21].set(
+        jnp.asarray(FFSR_Q_ARM2)
+    )
+    x = jnp.concatenate([q, jnp.zeros(model.nv)])
+    u = jnp.zeros((14,))
+    r_free = float(res.value(space, x, u)[0])
+    assert r_free < 0.0  # nominal posture is collision-free
+
+    # same tool frame against itself => zero distance => deep collision
+    res_same = LinkCollisionResidual(
+        model=model,
+        axis1=z, half_len1=jnp.asarray(0.12), radius1=jnp.asarray(0.06),
+        axis2=z, half_len2=jnp.asarray(0.12), radius2=jnp.asarray(0.06),
+        offset1=jnp.zeros(3), offset2=jnp.zeros(3),
+        margin=jnp.asarray(0.02),
+        frame_id1=model.frame_id("arm1_tool"),
+        frame_id2=model.frame_id("arm1_tool"),
+    )
+    assert float(res_same.value(space, x, u)[0]) > 0.0
+
+    Jx, Ju = res.jacobians(space, x, u)
+    Jx_fd, Ju_fd = fd_stage_function_jacobians(res, space, x, u)
+    assert jnp.max(jnp.abs(Jx - Jx_fd)) < 1e-5
+    assert jnp.max(jnp.abs(Ju - Ju_fd)) < 1e-5
