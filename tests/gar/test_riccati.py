@@ -178,3 +178,22 @@ def test_iterative_refinement_fp32():
     e2 = max(float(v) for v in gar.kkt_error(prob, *ref, 1e-3, 1e-3))
     assert e2 < e0 / 20.0
     assert e2 < 1e-4
+
+
+def test_lqr_join_via_theta():
+    """Join two successive LQ problems by maximizing over the common costate
+    (reference examples/gar-lqr-join.py): the fused solution must equal the
+    joint solve, and θ* must equal the joint interface costate."""
+    from examples.gar_lqr_join import split_and_join
+
+    T, nx, nu = 10, 3, 2
+    problem = gar.random_problem(
+        jax.random.PRNGKey(42), T - 1, nx, nu, 0, dtype=jnp.float64
+    )
+    mu = 1e-8
+    xs_j, us_j, vs_j, lams_j = gar.solve(problem, mu, mu, assume_explicit=True)
+    xs, us, vs, lams, theta = split_and_join(problem, t0=4, mu=mu)
+    assert jnp.max(jnp.abs(xs - xs_j)) < 1e-9
+    assert jnp.max(jnp.abs(us - us_j)) < 1e-9
+    assert jnp.max(jnp.abs(lams - lams_j)) < 1e-7
+    assert jnp.max(jnp.abs(theta - lams_j[4])) < 1e-7
