@@ -197,3 +197,52 @@ def test_lqr_join_via_theta():
     assert jnp.max(jnp.abs(us - us_j)) < 1e-9
     assert jnp.max(jnp.abs(lams - lams_j)) < 1e-7
     assert jnp.max(jnp.abs(theta - lams_j[4])) < 1e-7
+
+
+def test_cyclic_lqr_via_theta():
+    """Periodic LQ problem (reference examples/gar-cycle-lqr-*.py): x0 = xT
+    enforced through θ. Cross-validated against a hand-assembled dense KKT
+    of the periodic QP (independent oracle)."""
+    import numpy as np
+
+    from examples.gar_cyclic_lqr import create_cyclic_problem, solve_cyclic
+
+    T, nx, nu = 12, 2, 1
+    problem = create_cyclic_problem(T=T, nx=nx, nu=nu)
+    xs, us, lams, theta = solve_cyclic(problem, mu=1e-10)
+    assert float(jnp.max(jnp.abs(xs[0] - xs[-1]))) < 1e-9  # periodic
+
+    # dense periodic-QP KKT: z = [x_0..x_T, u_0..u_{T-1}],
+    # multipliers [lam_1..lam_T (dynamics), nu_p (periodicity)]
+    kn = problem.knots
+    Q = np.asarray(kn.Q); q = np.asarray(kn.q)
+    R = np.asarray(kn.R); r = np.asarray(kn.r)
+    A = np.asarray(kn.A); B = np.asarray(kn.B); f = np.asarray(kn.f)
+    nz = (T + 1) * nx + T * nu
+    nm = T * nx + nx
+    H = np.zeros((nz, nz)); g = np.zeros(nz)
+    for t in range(T + 1):
+        H[t * nx:(t + 1) * nx, t * nx:(t + 1) * nx] = Q[t]
+        g[t * nx:(t + 1) * nx] = q[t]
+    for t in range(T):
+        o = (T + 1) * nx + t * nu
+        H[o:o + nu, o:o + nu] = R[t]
+        g[o:o + nu] = r[t]
+    C = np.zeros((nm, nz)); c = np.zeros(nm)
+    for t in range(T):  # A x_t + B u_t + f_t - x_{t+1} = 0
+        C[t * nx:(t + 1) * nx, t * nx:(t + 1) * nx] = A[t]
+        C[t * nx:(t + 1) * nx, (t + 1) * nx:(t + 2) * nx] = -np.eye(nx)
+        o = (T + 1) * nx + t * nu
+        C[t * nx:(t + 1) * nx, o:o + nu] = B[t]
+        c[t * nx:(t + 1) * nx] = f[t]
+    C[T * nx:, :nx] = np.eye(nx)          # x_0 - x_T = 0
+    C[T * nx:, T * nx:(T + 1) * nx] = -np.eye(nx)
+    KKT = np.block([[H, C.T], [C, np.zeros((nm, nm))]])
+    sol = np.linalg.solve(KKT, -np.concatenate([g, c]))
+    xs_d = sol[: (T + 1) * nx].reshape(T + 1, nx)
+    us_d = sol[(T + 1) * nx: nz].reshape(T, nu)
+    nu_p = sol[nz + T * nx:]
+
+    assert np.max(np.abs(np.asarray(xs) - xs_d)) < 1e-7
+    assert np.max(np.abs(np.asarray(us[:T]) - us_d)) < 1e-7
+    assert np.max(np.abs(np.asarray(theta) - nu_p)) < 1e-7
