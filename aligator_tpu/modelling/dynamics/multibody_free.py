@@ -47,3 +47,35 @@ class MultibodyGravityCompensatedDynamics(ODE):
         tau = grav + self.actuation @ u
         a = rbd.aba(self.model, q, v, tau)
         return jnp.concatenate([v, a], axis=-1)
+
+
+@pytree_dataclass
+class MultibodyFlexibleFwdDynamics(ODE):
+    """Multibody dynamics with passive joint elasticity:
+    ``v̇ = FD(q, v, B·u − K(q − q_rest) − D·v)``.
+
+    Role of the reference's flexible double pendulum
+    (``examples/flexible_double_pendulum.py``): link flexibility modeled as
+    extra revolute segments coupled by torsional spring-dampers (K, D
+    diagonal over the tangent space; actuated dofs selected by B). Requires
+    a fixed-base model with nq == nv (revolute/prismatic joints only).
+    """
+
+    model: rbd.RobotModel
+    actuation: jax.Array  # (nv, nu)
+    stiffness: jax.Array  # (nv,) torsional spring constants
+    damping: jax.Array  # (nv,) viscous joint damping
+    q_rest: jax.Array  # (nq,) spring rest configuration
+
+    def xdot(self, space, x, u):
+        nq = self.model.nq
+        if nq != self.model.nv:
+            raise ValueError("flexible dynamics needs nq == nv (no free-flyer)")
+        q, v = x[..., :nq], x[..., nq:]
+        tau = (
+            self.actuation @ u
+            - self.stiffness * (q - self.q_rest)
+            - self.damping * v
+        )
+        a = rbd.aba(self.model, q, v, tau)
+        return jnp.concatenate([v, a], axis=-1)

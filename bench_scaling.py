@@ -85,5 +85,76 @@ def main():
         )
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--time" not in sys.argv:
     main()
+
+
+def main_time():
+    """Time-axis (parallel-in-time) scaling: ONE long-horizon LQ solve with
+    the leg axis sharded over the mesh (the reference's OpenMP-legs analog,
+    parallel-solver.hxx:124). Strong scaling: horizon and leg count fixed
+    (legs = 8), only the device count varies.
+
+    NOTE: meaningful only on real multi-chip hardware. Under --virtual the
+    "devices" share this host's physical cores, so speedup_vs_1dev ≈ 1 by
+    construction — the run then validates the sharded execution path, not
+    hardware scaling (same caveat as the batch-axis mode above)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from aligator_tpu import gar
+    from aligator_tpu.gar import parallel as gar_parallel
+    from aligator_tpu.gar import riccati
+
+    N, nx, nu = 1023, 8, 4
+    prob = gar.random_problem(
+        jax.random.PRNGKey(0), N, nx, nu, 0, dtype=jnp.float32
+    )
+
+    def timed(fn, reps=3):
+        fn(prob)[0].block_until_ready()
+        ts = []
+        for i in range(1, reps + 1):
+            p = replace(
+                prob, knots=replace(prob.knots, q=prob.knots.q + i * 1e-6)
+            )
+            t0 = time.perf_counter()
+            fn(p)[0].block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_serial = timed(
+        jax.jit(lambda p: riccati.solve(p, 1e-3, 1e-3, True))
+    )
+    print(json.dumps({
+        "metric": "pit_scaling_serial", "value": round(t_serial * 1e3, 2),
+        "unit": "ms/solve", "devices": 1,
+    }))
+
+    devices = jax.devices()
+    base = None
+    for n in (1, 2, len(devices)):
+        if n > len(devices):
+            continue
+        mesh = Mesh(np.array(devices[:n]), axis_names=("time",))
+        tsh = NamedSharding(mesh, P("time"))
+        fn = jax.jit(
+            lambda p, tsh=tsh: gar_parallel.solve(
+                p, 1e-3, 1e-3, legs=8, assume_explicit=True,
+                time_sharding=tsh,
+            )
+        )
+        t = timed(fn)
+        if base is None:
+            base = t
+        print(json.dumps({
+            "metric": f"pit_scaling_{n}dev",
+            "value": round(t * 1e3, 2), "unit": "ms/solve", "devices": n,
+            "speedup_vs_1dev": round(base / t, 3),
+        }))
+
+
+if __name__ == "__main__" and "--time" in sys.argv:
+    import numpy as np  # noqa: F401
+
+    main_time()
+    sys.exit(0)

@@ -212,3 +212,30 @@ def test_wheeled_inverted_pendulum_transfer():
     assert float(jnp.abs(xN[0] - 1.0)) < 0.05  # at the goal
     assert float(jnp.abs(xN[1])) < 0.02  # upright
     assert float(jnp.max(jnp.abs(res.us))) <= 3.0 + 1e-6  # torque bound
+
+
+def test_flexible_double_pendulum_swingup():
+    """Flexible (spring-segmented) double pendulum swing-up — reference
+    examples/flexible_double_pendulum.py role: underactuated chain with
+    passive torsional spring-dampers; the actuated joints must reach pi/0
+    while the flex joints settle near rest."""
+    from examples.flexible_double_pendulum import (
+        create_flexible_pendulum_problem,
+    )
+    from aligator_tpu import solvers
+
+    problem, model = create_flexible_pendulum_problem(nsteps=80, timestep=0.03)
+    cfg = solvers.ProxDDPConfig(
+        tol=1e-4, mu_init=1e-2, max_iters=200, rollout="nonlinear",
+        ls_strategy="armijo",
+    )
+    res = solvers.solve(problem, cfg)
+    assert bool(res.conv)
+    xN = res.xs[-1]
+    assert abs(float(xN[0]) - 3.14159) < 0.05  # shoulder upright
+    assert abs(float(xN[1])) < 0.02  # flex joints at rest
+    assert abs(float(xN[3])) < 0.02
+    assert float(jnp.max(jnp.abs(res.us))) <= 12.0 + 1e-6
+    # the passive joints must actually deflect during the swing
+    # (otherwise the flexibility model is inert and the test is vacuous)
+    assert float(jnp.max(jnp.abs(res.xs[:, 1]))) > 0.01
