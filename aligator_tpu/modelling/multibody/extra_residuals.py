@@ -218,3 +218,36 @@ class LinkCollisionResidual(StageFunction):
         d2 = _segment_segment_sqdist(c1 - a1, c1 + a1, c2 - a2, c2 + a2)
         rmin = self.radius1 + self.radius2 + self.margin
         return (rmin**2 - d2)[None]
+
+
+@pytree_dataclass
+class BallisticLandingResidual(StageFunction):
+    """Landing point of a projectile released from a frame at the current
+    state: r(x) = landing_xy(q, v) − target_xy ∈ R².
+
+    The point flies ballistically from the frame origin with the frame's
+    world linear velocity until it crosses z = z_ground:
+    ``t_f = (v_z + √(v_z² + 2 g (p_z − z_ground)))/g``. Role of the
+    reference's throwing task (``examples/ur10_ballistic.py`` constrains the
+    ball frame, simulated as a free-flyer after release, to the target); the
+    release-state landing map collapses the free-flight phase analytically.
+    """
+
+    model: rbd.RobotModel
+    target_xy: jax.Array  # (2,)
+    gravity: jax.Array  # scalar, positive (9.81)
+    z_ground: jax.Array  # scalar
+    frame_id: int = static_field(default=0)
+
+    def value(self, space, x, u):
+        q, v = _split_qv(self.model, x)
+        kin = rbd.kinematics(self.model, q, v)
+        R, p = rbd.frame_placement(self.model, q, self.frame_id, kin=kin)
+        V = rbd.frame_velocity(self.model, q, v, self.frame_id, kin=kin)
+        v_w = R @ V[:3]
+        g = self.gravity
+        dz = jnp.maximum(p[2] - self.z_ground, 0.0)
+        disc = jnp.maximum(v_w[2] ** 2 + 2.0 * g * dz, 1e-12)
+        tf = (v_w[2] + jnp.sqrt(disc)) / g
+        landing = p[:2] + v_w[:2] * tf
+        return landing - self.target_xy

@@ -239,3 +239,34 @@ def test_flexible_double_pendulum_swingup():
     # the passive joints must actually deflect during the swing
     # (otherwise the flexibility model is inert and the test is vacuous)
     assert float(jnp.max(jnp.abs(res.xs[:, 1]))) > 0.01
+
+
+def test_ur5_ballistic_throw():
+    """Ballistic throw (reference examples/ur10_ballistic.py role): terminal
+    equality on the analytic landing map of the release-state projectile;
+    the landing point must hit the ground target."""
+    import numpy as np
+
+    from examples.ur5_ballistic import create_ballistic_problem
+    from aligator_tpu import solvers
+
+    problem, model, landing = create_ballistic_problem(
+        nsteps=30, timestep=0.03
+    )
+    cfg = solvers.ProxDDPConfig(
+        tol=1e-3, mu_init=1e-3, max_iters=300, rollout="nonlinear",
+        ls_strategy="armijo",
+    )
+    res = solvers.solve(problem, cfg)
+    miss = np.asarray(landing.value(problem.space, res.xs[-1], jnp.zeros(6)))
+    assert np.linalg.norm(miss) < 0.01, miss  # within 1 cm of the target
+    assert float(jnp.max(jnp.abs(res.us))) <= 90.0 + 1e-6
+    # the throw must actually be ballistic: release with real upward/outward
+    # velocity, not a quasi-static placement
+    from aligator_tpu.modelling.multibody import model as rbd
+
+    xN = res.xs[-1]
+    q, v = xN[: model.nq], xN[model.nq:]
+    R, _ = rbd.frame_placement(model, q, model.frame_id("ee"))
+    V = rbd.frame_velocity(model, q, v, model.frame_id("ee"))
+    assert float(jnp.linalg.norm(R @ V[:3])) > 1.0
