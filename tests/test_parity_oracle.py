@@ -11,6 +11,8 @@ strategy, ``tests/gar/parallel.cpp``, ``tests/python/test_solver.py``).
 
 import dataclasses
 
+import jax
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -119,3 +121,50 @@ def test_parity_ur5_reach():
     )
     res, tr = _check_parity(problem, cfg, iter_tol=1e-6)
     assert bool(res.conv)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_parity_fuzz_random_constrained_lqr(seed):
+    """Randomized cross-validation: random stable dynamics, random SPD
+    costs, random box bounds — the JAX solver must track the NumPy oracle
+    iterate-for-iterate on every draw (catches active-set/linesearch
+    discrepancies that fixed examples might miss)."""
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    dtype = jnp.float64
+    nx = int(2 + seed % 2)
+    nu = int(1 + seed % 2)
+
+    A = jnp.eye(nx, dtype=dtype) + 0.1 * jax.random.normal(k1, (nx, nx), dtype)
+    A = A / jnp.maximum(1.0, 1.05 * jnp.max(jnp.abs(jnp.linalg.eigvals(A))))
+    A = A.real.astype(dtype)
+    B = jax.random.normal(k2, (nx, nu), dtype)
+    W = jax.random.normal(k3, (nx, nx + 2), dtype)
+    Q = (W @ W.T) / (nx + 2) * 0.1
+    Rw = jax.random.normal(k4, (nu, nu + 2), dtype)
+    R = (Rw @ Rw.T) / (nu + 2) * 0.1 + 0.01 * jnp.eye(nu, dtype=dtype)
+
+    space = core.VectorSpace(nx)
+    dyn = core.LinearDiscreteDynamics(A=A, B=B, c=jnp.zeros((nx,), dtype))
+    cost = core.QuadraticCost.create(Q, R)
+    term_cost = core.QuadraticCost.create(
+        5.0 * jnp.eye(nx, dtype=dtype), jnp.zeros((nu, nu), dtype)
+    )
+    u_bound = 0.1 + 0.2 * float(jax.random.uniform(k5))
+    constraints = (
+        (
+            core.ControlErrorResidual(target=jnp.zeros((nu,), dtype)),
+            core.BoxConstraint(
+                lower=-u_bound * jnp.ones((nu,), dtype),
+                upper=u_bound * jnp.ones((nu,), dtype),
+            ),
+        ),
+    )
+    stage = core.make_stage(cost, dyn, space, nu, constraints)
+    x0 = jax.random.normal(jax.random.PRNGKey(100 + seed), (nx,), dtype)
+    problem = core.make_problem(x0, stage, 20, term_cost)
+
+    cfg = solvers.ProxDDPConfig(
+        tol=1e-8, max_iters=60, ls_strategy="armijo", ls_interp="bisection"
+    )
+    _check_parity(problem, cfg)
