@@ -48,8 +48,15 @@ from .lqr_problem import LQRProblem
 
 
 def _solve(M, B):
-    """Nonsymmetric small solve (the combine's (I + C J) matrices)."""
-    return smallmat.solve(M, B)
+    """Nonsymmetric small solve for the combine's (I + C J) matrices.
+
+    These carry the folded 1/μ_eq constraint penalty, so they can be
+    μ-scaled/ill-conditioned — the raw closed-form inverse is not enough
+    (CLAUDE.md precision policy). Three Newton refinement steps square the
+    inverse's residual each time: starting from the adjugate's
+    cond·eps ≈ 1e-1 worst case at μ ≈ 1e-6 in fp32, three steps reach
+    ~1e-8, i.e. factorization-grade."""
+    return smallmat.solve(M, B, newton_iters=3)
 
 
 def _fold_constraints(kn, t_slice, mueq):
@@ -151,8 +158,12 @@ def solve(problem: LQRProblem, mudyn, mueq, return_gains: bool = False,
 
     Conditioning note: folding the ALM penalty into the leaf costs squares
     the 1/μ_eq scale inside the element algebra, so at extreme penalties
-    (μ ≲ 1e-6 in fp64, ≲ 1e-3 in fp32) the raw scan loses digits relative
-    to the serial reduced-KKT recursion. ``refine_steps ≥ 1`` runs
+    the raw scan loses digits relative to the serial reduced-KKT recursion,
+    and below a dtype-dependent floor the folded operator stops being a
+    contraction and refinement DIVERGES — measured domains: μ ≳ 1e-7 in
+    fp64, **μ ≳ 1e-3 in fp32** (at fp32 μ = 1e-4 the solution is garbage
+    regardless of refinement; use the serial path there).
+    ``refine_steps ≥ 1`` runs
     KKT-residual refinement (each step re-solves on the residual — still
     O(log N) depth) and restores solver-grade accuracy.
     """

@@ -29,14 +29,18 @@ def _refine(M, X):
     return X @ (2.0 * eye - M @ X)
 
 
-def inv(M):
-    """Inverse of a small square matrix (closed form for n ≤ 4, plus one
-    Newton refinement step for n ≥ 3 to recover factorization-level
-    accuracy)."""
+def inv(M, newton_iters: int = 1):
+    """Inverse of a small square matrix: closed form for n ≤ 4, plus
+    ``newton_iters`` Newton refinement steps to recover factorization-level
+    accuracy (each step squares the residual of the approximate inverse —
+    pass 3 for μ-scaled matrices with cond up to ~1/eps(fp32), where the raw
+    adjugate alone is NOT acceptable)."""
     n = M.shape[-1]
-    if 3 <= n <= _CLOSED_FORM_MAX:
-        return _refine(M, _inv_closed(M))
-    return _inv_closed(M)
+    X = _inv_closed(M)
+    if n >= 3 or newton_iters > 1:
+        for _ in range(newton_iters):
+            X = _refine(M, X)
+    return X
 
 
 def _inv_closed(M):
@@ -87,11 +91,12 @@ def _inv_closed(M):
     raise ValueError(f"closed-form inverse not defined for n={n}")
 
 
-def solve(M, B):
-    """Solve M X = B; closed form for n ≤ 4, LU otherwise."""
+def solve(M, B, newton_iters: int = 1):
+    """Solve M X = B; closed form for n ≤ 4 (see ``inv`` for the
+    refinement policy), LU otherwise."""
     n = M.shape[-1]
     if n <= _CLOSED_FORM_MAX:
-        Minv = inv(M)
+        Minv = inv(M, newton_iters=newton_iters)
         return Minv @ B if B.ndim == M.ndim else (Minv @ B[..., None])[..., 0]
     return jnp.linalg.solve(M, B)
 

@@ -176,7 +176,7 @@ def underactuated_constrained_rnea(
 ):
     """Static inverse dynamics under contacts for an underactuated robot.
 
-    Least-squares solve of ``[B, -Jcᵀ]·[u; f] = nle(q, v)`` — the torque and
+    Least-squares solve of ``[B, Jcᵀ]·[u; f] = nle(q, v)`` — the torque and
     world-aligned contact forces that hold the robot at (q, v) with zero
     acceleration. Used to warm-start whole-body OCPs (reference
     ``underactuatedConstrainedInverseDynamics``,
@@ -200,7 +200,10 @@ def underactuated_constrained_rnea(
     ]
     Jc = jnp.concatenate(Js, axis=0)  # (Σdims, nv)
 
-    work = jnp.concatenate([act_matrix, -Jc.T], axis=1)  # (nv, nu+Σdims)
+    # B u + Jc' f = nle: f is the force the environment applies ON the
+    # robot — the same sign convention as constrained_fwd_dynamics
+    # (M a + nle = tau + Jc' f; a standing robot gets fz = +m g)
+    work = jnp.concatenate([act_matrix, Jc.T], axis=1)  # (nv, nu+Σdims)
     sol = jnp.linalg.lstsq(work, nle)[0]
     return sol[:nu], sol[nu:]
 

@@ -52,6 +52,8 @@ bases, and finite-difference checks of every Jacobian
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional
 
 import jax
@@ -249,8 +251,13 @@ def inertia_apply(mass, com, I_com, m):
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
 def _topology(joint_types: tuple, parents: tuple):
-    """Static index tables for the uniform-joint formulation."""
+    """Static index tables for the uniform-joint formulation.
+
+    Memoized on the (hashable) topology tuples: kinematics/dynamics call it
+    ~5x per trace, and the O(nj²) ancestor loop otherwise reruns on every
+    retrace (callers must not mutate the returned arrays)."""
     nj = len(joint_types)
     codes = np.array([_CODE[t] for t in joint_types], dtype=np.int32)
 

@@ -117,10 +117,12 @@ class ProxDDPConfig:
     # LQ subproblem solver (reference LQSolverChoice): 'serial' (scan, with
     # automatic dispatch to the fused Pallas TPU kernel under an outer vmap
     # when eligible), 'serial_scan' (force the XLA scan path), 'parallel'
-    # (parallel-in-time leg condensation; requires linear rollout and
-    # (N+1) %% parallel_legs == 0), or 'associative' (O(log N)-depth
+    # (parallel-in-time leg condensation; requires linear rollout;
+    # non-divisible horizons use the balanced get_work split), or
+    # 'associative' (O(log N)-depth
     # associative-scan Riccati — latency-optimal for one long horizon;
-    # explicit dynamics only)
+    # explicit dynamics only; fp32 requires mu >= ~1e-3: the penalty-folded
+    # element algebra stops contracting below that — see gar/associative.py)
     linear_solver: str = "serial"
     parallel_legs: int = 2
     force_initial_condition: bool = True

@@ -7,6 +7,8 @@ history array (``ProxDDPResults.history``) or add rows manually.
 
 from __future__ import annotations
 
+import re
+
 BASIC_KEYS = (
     ("iter", "{:>5d}"),
     ("alpha", "{:>9.2e}"),
@@ -69,12 +71,18 @@ def log_row(trace: dict, header: bool = False):
     """Print one columnar trace row (reference Logger row format,
     ``utils/logger.hpp:22-56``); used by the in-jit ``verbose`` path of the
     solvers via ``jax.debug.callback``."""
+    def width(fmt):
+        m = re.search(r">(\d+)", fmt)
+        return int(m.group(1)) if m else 10
+
     if header:
-        print(" | ".join(f"{name:>10s}" for name, _ in _ROW_KEYS))
+        print(" | ".join(
+            f"{name:>{width(fmt)}s}" for name, fmt in _ROW_KEYS
+        ))
     cells = []
     for name, fmt in _ROW_KEYS:
         v = trace.get(name)
-        cells.append(fmt.format(v) if v is not None else " " * 10)
+        cells.append(fmt.format(v) if v is not None else " " * width(fmt))
     print(" | ".join(cells))
 
 

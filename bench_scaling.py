@@ -111,14 +111,17 @@ def main_time():
     )
 
     def timed(fn, reps=3):
-        fn(prob)[0].block_until_ready()
+        # host readback, not block_until_ready: on the tunneled backend only
+        # a float(...) readback reliably waits for remote execution
+        # (CLAUDE.md timing rules / bench.py)
+        float(fn(prob)[0].sum())
         ts = []
         for i in range(1, reps + 1):
             p = replace(
                 prob, knots=replace(prob.knots, q=prob.knots.q + i * 1e-6)
             )
             t0 = time.perf_counter()
-            fn(p)[0].block_until_ready()
+            float(fn(p)[0].sum())
             ts.append(time.perf_counter() - t0)
         return min(ts)
 

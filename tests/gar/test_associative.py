@@ -90,3 +90,26 @@ def test_proxddp_associative_linear_solver():
     assert bool(res_a.conv)
     assert jnp.allclose(res_a.us, res_s.us, atol=1e-6)
     assert jnp.allclose(res_a.K, res_s.K, atol=1e-5)
+
+
+def test_fp32_accuracy_domain():
+    """fp32 accuracy of the associative path at the bench-protocol μ = 1e-3:
+    with 3 Newton refinements in the combine solves + 2 KKT refinement
+    steps it must beat the serial fp32 path against fp64 ground truth.
+    (Below μ ≈ 1e-3 in fp32 the folded operator stops contracting — that
+    domain is documented, not supported.)"""
+    prob = gar.random_problem(
+        jax.random.PRNGKey(3), 63, 4, 2, 2, dtype=jnp.float32
+    )
+    prob64 = jax.tree.map(
+        lambda a: a.astype(jnp.float64) if a.dtype == jnp.float32 else a, prob
+    )
+    mu = 1e-3
+    _, us_t, _, _ = gar.solve(prob64, mu, mu, assume_explicit=True)
+    _, us_a, _, _ = associative.solve(prob, mu, mu, refine_steps=2)
+    _, us_s, _, _ = gar.solve(prob, mu, mu, assume_explicit=True)
+    scale = jnp.max(jnp.abs(us_t))
+    err_a = float(jnp.max(jnp.abs(us_a - us_t)) / scale)
+    err_s = float(jnp.max(jnp.abs(us_s - us_t)) / scale)
+    assert err_a < 1e-5, err_a
+    assert err_a <= err_s, (err_a, err_s)

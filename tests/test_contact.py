@@ -131,14 +131,15 @@ def test_underactuated_constrained_rnea():
     Jl = rbd_mod.frame_jacobian_lwa(model, q, fids[0])
     Jr = rbd_mod.frame_jacobian_lwa(model, q, fids[1])
     Jc = jnp.concatenate([Jl, Jr], axis=0)
-    residual = B @ u - Jc.T @ forces - nle
+    residual = B @ u + Jc.T @ forces - nle
     assert jnp.allclose(residual, 0.0, atol=1e-8), residual
 
-    # feet carry the weight: total vertical force = m·g (sign: forces are
-    # what the constraint applies on the robot in the lstsq convention)
-    total_fz = forces[2] + forces[8]
+    # feet carry the weight UPWARD: total vertical force = +m*g (the force
+    # the ground applies ON the robot — same sign convention as
+    # constrained_fwd_dynamics)
+    total_fz = float(forces[2] + forces[8])
     weight = float(jnp.sum(model.mass) * 9.81)
-    assert abs(abs(float(total_fz)) - weight) < 1e-6 * weight
+    assert abs(total_fz - weight) < 1e-6 * weight, (total_fz, weight)
 
 
 def test_6d_contact_newton_euler_balance():
