@@ -457,21 +457,32 @@ def _body_accels(model, kin, a, dtype):
     return (A * a) @ Phi + A @ beta + a_grav
 
 
-def rnea(model: RobotModel, q, v, a, ext_forces: Optional[jax.Array] = None):
+def _world_inertia_cached(model, kin, dtype):
+    """World-origin spatial inertias, memoized on the kinematics dict so
+    rnea/mass_matrix sharing one ``kin`` also share this."""
+    if "_world_inertia" not in kin:
+        kin["_world_inertia"] = _world_inertia(model, kin["R"], kin["p"], dtype)
+    return kin["_world_inertia"]
+
+
+def rnea(model: RobotModel, q, v, a, ext_forces: Optional[jax.Array] = None,
+         kin=None):
     """Inverse dynamics τ = RNEA(q, v, a).
 
     World-frame Newton-Euler as three einsums over the ancestor mask (role
     of ``pinocchio::rnea`` used by the reference's multibody dynamics).
     ``ext_forces``: optional (nj, 6) external spatial forces expressed in
-    each joint's local frame (as Pinocchio's ``fext``).
+    each joint's local frame (as Pinocchio's ``fext``). Pass ``kin`` (from
+    ``kinematics(model, q, v)``) to share the kinematics pass.
     """
     dtype = q.dtype
-    kin = kinematics(model, q, v)
-    kin["vdof"] = v
+    if kin is None:
+        kin = kinematics(model, q, v)
+        kin["vdof"] = v
     R, p, A, Phi, V = kin["R"], kin["p"], kin["A"], kin["Phi"], kin["V"]
 
     Acc = _body_accels(model, kin, a, dtype)  # (nj, 6)
-    m, c_w, I_w = _world_inertia(model, R, p, dtype)
+    m, c_w, I_w = _world_inertia_cached(model, kin, dtype)
     h = inertia_apply(m, c_w, I_w, V)
     f = inertia_apply(m, c_w, I_w, Acc) + motion_cross_force(V, h)  # (nj, 6)
 
@@ -484,15 +495,16 @@ def rnea(model: RobotModel, q, v, a, ext_forces: Optional[jax.Array] = None):
     return jnp.sum(Phi * (A.T @ f), axis=1)
 
 
-def mass_matrix(model: RobotModel, q):
+def mass_matrix(model: RobotModel, q, kin=None):
     """Joint-space inertia M(q) — CRBA-equivalent, as one dense contraction:
     M = Σ_b (A_b ⊙ Φ)ᵀ I_b (A_b ⊙ Φ) with world-origin spatial inertias.
     MXU-shaped (nbody × 6 × nv einsums) instead of the nv+1 RNEA passes of
-    engine v1."""
+    engine v1. Pass ``kin`` to share a kinematics pass."""
     dtype = q.dtype
-    kin = kinematics(model, q)
-    R, p, A, Phi = kin["R"], kin["p"], kin["A"], kin["Phi"]
-    m, c_w, I_w = _world_inertia(model, R, p, dtype)
+    if kin is None:
+        kin = kinematics(model, q)
+    A, Phi = kin["A"], kin["Phi"]
+    m, c_w, I_w = _world_inertia_cached(model, kin, dtype)
 
     Psi = Phi.T[None, :, :] * A[:, None, :]  # (nj, 6, nv) masked Jacobians
     IPsi = inertia_apply(
@@ -520,25 +532,9 @@ def aba(model: RobotModel, q, v, tau, ext_forces: Optional[jax.Array] = None):
     dtype = q.dtype
     kin = kinematics(model, q, v)
     kin["vdof"] = v
-    R, p, A, Phi, V = kin["R"], kin["p"], kin["A"], kin["Phi"], kin["V"]
-    m, c_w, I_w = _world_inertia(model, R, p, dtype)
 
-    # bias torque b = RNEA(q, v, 0) (with ext forces)
-    Acc0 = _body_accels(model, kin, jnp.zeros((model.nv,), dtype), dtype)
-    h = inertia_apply(m, c_w, I_w, V)
-    f = inertia_apply(m, c_w, I_w, Acc0) + motion_cross_force(V, h)
-    if ext_forces is not None:
-        fl_w = jnp.einsum("nij,nj->ni", R, ext_forces[:, :3])
-        tau_w = jnp.einsum("nij,nj->ni", R, ext_forces[:, 3:]) + jnp.cross(p, fl_w)
-        f = f - jnp.concatenate([fl_w, tau_w], axis=1)
-    b = jnp.sum(Phi * (A.T @ f), axis=1)
-
-    Psi = Phi.T[None, :, :] * A[:, None, :]
-    IPsi = inertia_apply(
-        m[:, None], c_w[:, None, :], I_w[:, None, :, :], jnp.swapaxes(Psi, 1, 2)
-    )
-    M = jnp.einsum("bsk,bls->kl", Psi, IPsi)
-    M = 0.5 * (M + M.T)
+    b = rnea(model, q, v, jnp.zeros((model.nv,), dtype), ext_forces, kin=kin)
+    M = mass_matrix(model, q, kin=kin)
 
     # recursive block Cholesky (gar/smallmat.py): batched-GEMM factor with
     # no while-loop primitives — ~2.7x cho_factor inside scans on TPU
