@@ -20,6 +20,7 @@ from .functions import (
     ControlBoxFunction,
     ControlErrorResidual,
     FunctionSlice,
+    GatedFunction,
     LinearFunction,
     LinearFunctionComposition,
     StageFunction,
@@ -63,6 +64,7 @@ __all__ = [
     "ControlErrorResidual",
     "ControlBoxFunction",
     "FunctionSlice",
+    "GatedFunction",
     "LinearFunction",
     "LinearFunctionComposition",
     "Manifold",

@@ -131,6 +131,29 @@ class FunctionSlice(StageFunction):
 
 
 @pytree_dataclass
+class GatedFunction(StageFunction):
+    """r(x,u) = gate · f(x,u) with a (stage-varying) scalar gate leaf.
+
+    The stacked-stage analog of attaching a constraint to *some* stages only
+    (the reference builds type-heterogeneous stage lists, e.g.
+    ``examples/continuous-centroidal.py:249-258`` pins extra equalities on the
+    first/last stage): gate=0 zeroes the rows (trivially feasible/costless),
+    gate=1 activates them, and the gate can differ per stage through the
+    stacked pytree leaves."""
+
+    func: StageFunction
+    gate: jax.Array = 1.0
+
+    def value(self, space, x, u):
+        return jnp.asarray(self.gate) * self.func.value(space, x, u)
+
+    def jacobians(self, space, x, u):
+        Jx, Ju = self.func.jacobians(space, x, u)
+        g = jnp.asarray(self.gate)
+        return g * Jx, g * Ju
+
+
+@pytree_dataclass
 class LinearFunctionComposition(StageFunction):
     """r(x,u) = A f(x,u) + b (reference
     ``modelling/linear-function-composition.hpp:13``)."""

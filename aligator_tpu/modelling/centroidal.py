@@ -155,13 +155,15 @@ class CentroidalWrenchConeResidual(StageFunction):
 
 @pytree_dataclass
 class CentroidalWrapperResidual(StageFunction):
-    """Wrap a centroidal residual to act on a sub-slice of a larger state
-    (reference ``centroidal-wrapper.hpp:17``)."""
+    """Adapt a centroidal residual to the force-in-state formulation used by
+    ``ContinuousCentroidalFwdDynamics`` (reference
+    ``centroidal-wrapper.hpp:10-29``): the extended state
+    x = (c, h, L, forces) is split at ``x_dim`` and the force tail is fed to
+    the inner residual as its control, so the same cone/acceleration
+    residuals work whether forces are controls or states."""
 
     inner: StageFunction
-    x_offset: int = static_field(default=0)
     x_dim: int = static_field(default=9)
 
     def value(self, space, x, u):
-        xs = x[..., self.x_offset : self.x_offset + self.x_dim]
-        return self.inner.value(space, xs, u)
+        return self.inner.value(space, x[..., : self.x_dim], x[..., self.x_dim :])

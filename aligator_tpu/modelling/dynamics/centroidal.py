@@ -35,25 +35,67 @@ class ContactMap:
         return self.points.shape[-2]
 
 
+def _momentum_rates(contact_map, mass, gravity, c, forces):
+    """Newton-Euler momentum rates from per-contact forces/wrenches.
+
+    ``forces`` is (n_contacts, force_size) with force_size ∈ {3, 6}; the
+    optional trailing 3 entries are contact torques added directly to L̇
+    (reference ``centroidal-fwd.hxx:31-47``)."""
+    act = contact_map.active[..., None]
+    f3 = forces[..., :3]
+    f_tot = jnp.sum(act * f3, axis=-2)
+    tau = jnp.sum(
+        act * jnp.cross(contact_map.points - c[..., None, :], f3), axis=-2
+    )
+    if forces.shape[-1] == 6:
+        tau = tau + jnp.sum(act * forces[..., 3:6], axis=-2)
+    hdot = mass * gravity + f_tot
+    return hdot, tau
+
+
 @pytree_dataclass
 class CentroidalFwdDynamics(ODE):
     contact_map: ContactMap
     mass: jax.Array
     gravity: jax.Array  # (3,)
+    force_size: int = static_field(default=3)
 
     def xdot(self, space, x, u):
         c, h = x[..., 0:3], x[..., 3:6]
-        forces = u.reshape((-1, 3))
-        act = self.contact_map.active[..., None]
-        f_tot = jnp.sum(act * forces, axis=-2)
-        tau = jnp.sum(
-            act * jnp.cross(self.contact_map.points - c[..., None, :], forces),
-            axis=-2,
+        forces = u.reshape((-1, self.force_size))
+        hdot, Ldot = _momentum_rates(
+            self.contact_map, self.mass, self.gravity, c, forces
         )
         cdot = h / self.mass
-        hdot = self.mass * self.gravity + f_tot
-        Ldot = tau
         return jnp.concatenate([cdot, hdot, Ldot], axis=-1)
+
+
+@pytree_dataclass
+class ContinuousCentroidalFwdDynamics(ODE):
+    """Centroidal dynamics with the contact forces lifted into the state and
+    the control re-interpreted as force *rates* (reference
+    ``modelling/dynamics/continuous-centroidal-fwd.hpp:25``,
+    ``continuous-centroidal-fwd.hxx:27-62``):
+
+      x = (c, h, L, f₁ … f_nk) ∈ R^{9 + nk·fs},  u = ḟ (stacked rates)
+      ċ = h/m,  ḣ = m·g + Σᵢ fᵢ,  L̇ = Σᵢ (pᵢ − c) × fᵢ [+ τᵢ],  ḟ = u
+
+    Smooths force trajectories (rate penalties become plain control costs)
+    and lets force bounds/cones act on state slices."""
+
+    contact_map: ContactMap
+    mass: jax.Array
+    gravity: jax.Array  # (3,)
+    force_size: int = static_field(default=3)
+
+    def xdot(self, space, x, u):
+        c, h = x[..., 0:3], x[..., 3:6]
+        forces = x[..., 9:].reshape((-1, self.force_size))
+        hdot, Ldot = _momentum_rates(
+            self.contact_map, self.mass, self.gravity, c, forces
+        )
+        cdot = h / self.mass
+        return jnp.concatenate([cdot, hdot, Ldot, u], axis=-1)
 
 
 @pytree_dataclass

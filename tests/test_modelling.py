@@ -270,3 +270,109 @@ def test_ur5_ballistic_throw():
     R, _ = rbd.frame_placement(model, q, model.frame_id("ee"))
     V = rbd.frame_velocity(model, q, v, model.frame_id("ee"))
     assert float(jnp.linalg.norm(R @ V[:3])) > 1.0
+
+
+def test_continuous_centroidal_dynamics_consistency():
+    """ContinuousCentroidalFwdDynamics (reference
+    continuous-centroidal-fwd.hxx:27-62): the (c,h,L) rates must match the
+    discrete-force CentroidalFwdDynamics at the same forces, and the force
+    tail integrates the control (force rates)."""
+    from aligator_tpu.modelling.dynamics.centroidal import (
+        ContinuousCentroidalFwdDynamics,
+    )
+
+    cmap = ContactMap(
+        points=jnp.array([[0.1, 0.05, 0.0], [-0.1, -0.02, 0.0]]),
+        active=jnp.array([1.0, 0.0]),  # second contact inactive
+    )
+    mass, grav = jnp.asarray(12.0), jnp.array([0.0, 0.0, -9.81])
+    disc = CentroidalFwdDynamics(contact_map=cmap, mass=mass, gravity=grav)
+    cont = ContinuousCentroidalFwdDynamics(
+        contact_map=cmap, mass=mass, gravity=grav
+    )
+    forces = jnp.array([1.0, -2.0, 40.0, 9.0, 9.0, 9.0])
+    x9 = jnp.arange(9.0) * 0.1
+    x_ext = jnp.concatenate([x9, forces])
+    rates = jnp.array([0.5, -0.5, 1.0, 0.0, 0.0, 0.0])
+    xdot_c = cont.xdot(core.VectorSpace(15), x_ext, rates)
+    xdot_d = disc.xdot(core.VectorSpace(9), x9, forces)
+    assert jnp.allclose(xdot_c[:9], xdot_d)
+    assert jnp.allclose(xdot_c[9:], rates)
+
+
+def test_centroidal_force_size_6_torque_coupling():
+    """force_size=6: the wrench torque part feeds straight into L-dot
+    (reference continuous-centroidal-fwd.hxx:54-57)."""
+    cmap = ContactMap(points=jnp.zeros((1, 3)), active=jnp.ones((1,)))
+    mass, grav = jnp.asarray(5.0), jnp.array([0.0, 0.0, -9.81])
+    dyn = CentroidalFwdDynamics(
+        contact_map=cmap, mass=mass, gravity=grav, force_size=6
+    )
+    x = jnp.zeros(9)
+    tau = jnp.array([0.3, -0.2, 0.7])
+    u = jnp.concatenate([jnp.zeros(3), tau])
+    xdot = dyn.xdot(core.VectorSpace(9), x, u)
+    # contact at the CoM: no moment arm, so L-dot is exactly the torque
+    assert jnp.allclose(xdot[6:9], tau)
+
+
+def test_centroidal_wrapper_feeds_state_forces_as_control():
+    """Reference centroidal-wrapper.hpp:10-14: the wrapper splits the
+    extended state and passes the force tail as the inner residual's u."""
+    from aligator_tpu.modelling.centroidal import CentroidalWrapperResidual
+
+    cmap = ContactMap(points=jnp.zeros((1, 3)), active=jnp.ones((1,)))
+    inner = CentroidalAccelerationResidual(
+        contact_map=cmap,
+        mass=jnp.asarray(2.0),
+        gravity=jnp.array([0.0, 0.0, -9.81]),
+        a_ref=jnp.zeros(3),
+    )
+    wrapped = CentroidalWrapperResidual(inner=inner)
+    f = jnp.array([0.0, 0.0, 2.0 * 9.81])  # exactly cancels gravity
+    x_ext = jnp.concatenate([jnp.zeros(9), f])
+    r = wrapped.value(core.VectorSpace(12), x_ext, jnp.ones(3) * 123.0)
+    assert jnp.allclose(r, 0.0, atol=1e-12)
+
+
+def test_gated_function_zeroes_rows_and_jacobians():
+    space = core.VectorSpace(3)
+    x, u = jnp.arange(3.0), jnp.array([2.0])
+    inner = core.StateErrorResidual(target=jnp.zeros(3))
+    on = core.GatedFunction(func=inner, gate=jnp.asarray(1.0))
+    off = core.GatedFunction(func=inner, gate=jnp.asarray(0.0))
+    assert jnp.allclose(on.value(space, x, u), inner.value(space, x, u))
+    assert jnp.allclose(off.value(space, x, u), 0.0)
+    Jx_on, _ = on.jacobians(space, x, u)
+    Jx_off, _ = off.jacobians(space, x, u)
+    assert jnp.allclose(Jx_on, jnp.eye(3))
+    assert jnp.allclose(Jx_off, 0.0)
+
+
+def test_continuous_centroidal_gait_solve():
+    """End-to-end continuous-centroidal gait (reference
+    examples/continuous-centroidal.py): short-horizon version converges, hits
+    the CoM target and keeps every active contact inside the friction cone."""
+    import numpy as np
+
+    from examples.continuous_centroidal import create_problem, NK, MU_FRICTION
+    from aligator_tpu import solvers
+
+    problem, xs_init, com_final = create_problem(T_ds=4, T_ss=8, T_tail=6)
+    cfg = solvers.ProxDDPConfig(
+        tol=1e-5, mu_init=1e-8, max_iters=60, max_al_iters=12,
+        rollout="linear", ls_strategy="filter", filter_beta=1e-5,
+    )
+    res = solvers.solve(problem, cfg, xs_init=xs_init)
+    assert bool(res.conv)
+    assert np.allclose(np.asarray(res.xs[-1, :3]), com_final, atol=1e-4)
+    f = np.asarray(res.xs[:-1, 9:]).reshape(-1, NK, 3)
+    # friction cone on active contacts (inactive rows are gated out)
+    fz = f[:, :, 2]
+    ft = np.abs(f[:, :, :2]).max(axis=-1)
+    active = np.asarray(problem.stages.dynamics.ode.contact_map.active)
+    mask = active > 0.5
+    assert fz[mask].min() > 0.0
+    assert (ft[mask] <= MU_FRICTION * fz[mask] + 1e-6).all()
+    # boundary equalities: zero force rate at t=0
+    assert np.abs(np.asarray(res.us[0])).max() < 1e-5
