@@ -161,6 +161,87 @@ def make_humanoid(
     return make_model(joints, frames)
 
 
+def make_humanoid_upper_body(
+    torso_height=0.2,
+    shoulder_y_off=0.1575,
+    shoulder_height=0.157,
+    upper_arm_len=0.27,
+    forearm_len=0.25,
+):
+    """Fixed-base upper body: torso (yaw, pitch) + two 4-dof arms (nv=10,
+    fully actuated). Counterpart of the reference's Talos upper-body model
+    (``examples/talos_arms.py`` loads it via ``load_talos_upper_body``,
+    ``examples/utils/__init__.py``); same arm geometry as
+    :func:`make_humanoid`, with the pelvis welded to the world."""
+    joints = [
+        dict(
+            type=REVOLUTE,
+            parent=-1,
+            axis=Z,
+            placement_p=jnp.array([0.0, 0.0, torso_height]),
+            mass=3.0,
+            com=jnp.zeros(3),
+            inertia=_box_inertia(3.0, 0.15, 0.2, 0.1),
+        )
+    ]
+    frames = []
+
+    def add(parent, axis, placement, mass, com, inertia):
+        joints.append(
+            dict(
+                type=REVOLUTE,
+                parent=parent,
+                axis=axis,
+                placement_p=placement,
+                mass=mass,
+                com=com,
+                inertia=inertia,
+            )
+        )
+        return len(joints) - 1
+
+    torso_pitch = add(  # chest
+        0, Y, jnp.zeros(3),
+        17.0, jnp.array([0.0, 0.0, 0.15]),
+        _box_inertia(17.0, 0.25, 0.3, 0.35),
+    )
+    for side, sy in (("left", +1.0), ("right", -1.0)):
+        sh_pitch = add(
+            torso_pitch, Y,
+            jnp.array([0.0, sy * shoulder_y_off, shoulder_height]),
+            2.0, jnp.zeros(3), _box_inertia(2.0, 0.1, 0.1, 0.1),
+        )
+        sh_roll = add(
+            sh_pitch, X, jnp.zeros(3),
+            2.2, jnp.array([0.0, 0.0, -upper_arm_len / 2]),
+            _box_inertia(2.2, 0.08, 0.08, upper_arm_len),
+        )
+        sh_yaw = add(
+            sh_roll, Z, jnp.array([0.0, 0.0, -upper_arm_len]),
+            1.5, jnp.zeros(3), _box_inertia(1.5, 0.07, 0.07, 0.07),
+        )
+        elbow = add(  # forearm + hand
+            sh_yaw, Y, jnp.zeros(3),
+            2.3, jnp.array([0.0, 0.0, -forearm_len / 2]),
+            _box_inertia(2.3, 0.06, 0.06, forearm_len),
+        )
+        frames.append(
+            dict(
+                name=f"{side}_gripper",
+                parent=elbow,
+                placement_p=jnp.array([0.0, 0.0, -forearm_len]),
+            )
+        )
+    return make_model(joints, frames)
+
+
+def upper_body_effort_limits():
+    """Torque limits for :func:`make_humanoid_upper_body` (torso + 2×arm)."""
+    torso = jnp.array([78.0, 78.0])
+    arm = jnp.array([44.0, 44.0, 30.0, 30.0])
+    return jnp.concatenate([torso, arm, arm])
+
+
 # indices of the leg pitch dofs in v-space (after the 6 base dofs):
 # per leg: [yaw, roll, pitch, knee, ankle_pitch, ankle_roll]
 _LEG0 = 6  # left leg first dof in v / (q offset is +1 for the quaternion)

@@ -146,6 +146,85 @@ def make_ur5() -> RobotModel:
     return make_model(joints, frames)
 
 
+def make_ur10() -> RobotModel:
+    """UR10-like 6-DOF arm from nominal public UR10 parameters
+    (ur_description URDF chain: d1=0.1273, shoulder/elbow offsets, upper-arm
+    0.612 m, forearm 0.5723 m, wrist lengths; published link masses). Role
+    of the reference's ``examples/ur10_midpoint.py`` / ``ur10_ballistic.py``
+    model (loaded there from example-robot-data as ``ur10_limited``)."""
+    half_pi = jnp.pi / 2
+
+    def diag(x, y, z):
+        return jnp.diag(jnp.array([x, y, z]))
+
+    joints = [
+        # shoulder_pan (about z)
+        dict(
+            type=REVOLUTE, parent=-1,
+            placement_p=jnp.array([0.0, 0.0, 0.1273]),
+            axis=jnp.array([0.0, 0.0, 1.0]),
+            mass=7.778, com=jnp.array([0.0, 0.0, 0.0]),
+            inertia=diag(0.0315, 0.0315, 0.0219),
+        ),
+        # shoulder_lift (about y); upper arm, 0.612 m
+        dict(
+            type=REVOLUTE, parent=0,
+            placement_p=jnp.array([0.0, 0.220941, 0.0]),
+            placement_q=_rpy_quat(0.0, half_pi, 0.0),
+            axis=jnp.array([0.0, 1.0, 0.0]),
+            mass=12.93, com=jnp.array([0.0, 0.0, 0.306]),
+            inertia=diag(0.4218, 0.4218, 0.0364),
+        ),
+        # elbow (about y); forearm, 0.5723 m
+        dict(
+            type=REVOLUTE, parent=1,
+            placement_p=jnp.array([0.0, -0.1719, 0.612]),
+            axis=jnp.array([0.0, 1.0, 0.0]),
+            mass=3.87, com=jnp.array([0.0, 0.0, 0.28615]),
+            inertia=diag(0.1110, 0.1110, 0.0109),
+        ),
+        # wrist_1 (about y)
+        dict(
+            type=REVOLUTE, parent=2,
+            placement_p=jnp.array([0.0, 0.0, 0.5723]),
+            placement_q=_rpy_quat(0.0, half_pi, 0.0),
+            axis=jnp.array([0.0, 1.0, 0.0]),
+            mass=1.96, com=jnp.array([0.0, 0.0, 0.0]),
+            inertia=diag(0.0051, 0.0051, 0.0055),
+        ),
+        # wrist_2 (about z)
+        dict(
+            type=REVOLUTE, parent=3,
+            placement_p=jnp.array([0.0, 0.1149, 0.0]),
+            axis=jnp.array([0.0, 0.0, 1.0]),
+            mass=1.96, com=jnp.array([0.0, 0.0, 0.0]),
+            inertia=diag(0.0051, 0.0051, 0.0055),
+        ),
+        # wrist_3 (about y)
+        dict(
+            type=REVOLUTE, parent=4,
+            placement_p=jnp.array([0.0, 0.0, 0.1157]),
+            axis=jnp.array([0.0, 1.0, 0.0]),
+            mass=0.202, com=jnp.array([0.0, 0.0, 0.0]),
+            inertia=diag(0.00053, 0.00053, 0.00069),
+        ),
+    ]
+    frames = [
+        dict(
+            name="ee",
+            parent=5,
+            placement_p=jnp.array([0.0, 0.0922, 0.0]),
+            placement_q=_rpy_quat(0.0, 0.0, half_pi),
+        ),
+    ]
+    return make_model(joints, frames)
+
+
+def ur10_effort_limits():
+    """Published UR10 per-joint torque limits (ur_description)."""
+    return jnp.array([330.0, 330.0, 150.0, 54.0, 54.0, 54.0])
+
+
 def make_panda() -> RobotModel:
     """Franka Emika Panda-like 7-DOF arm from the publicly documented
     nominal kinematics (franka_description URDF joint origins, all joint

@@ -1,0 +1,102 @@
+"""Smoke tests for the solo_bend / talos_arms / ur10_midpoint examples
+(reference ``examples/solo_bend.py``, ``examples/talos_arms.py``,
+``examples/ur10_midpoint.py``) at short horizons, plus sanity checks of the
+UR10 and upper-body models they introduce."""
+
+import jax
+import jax.numpy as jnp
+
+from aligator_tpu import solvers
+from aligator_tpu.modelling.multibody import model as rbd
+from aligator_tpu.modelling.multibody.humanoid import make_humanoid_upper_body
+from aligator_tpu.modelling.multibody.robots import make_ur10
+
+
+class TestModels:
+    def test_ur10_model_sanity(self):
+        model = make_ur10()
+        assert model.nv == 6
+        q = jnp.zeros(6)
+        # ABA/RNEA consistency: aba(q, v, rnea(q, v, a)) == a
+        v = jnp.array([0.1, -0.2, 0.3, 0.0, 0.1, -0.1])
+        a = jnp.array([0.5, 0.2, -0.1, 0.3, 0.0, 0.2])
+        tau = rbd.rnea(model, q, v, a)
+        a_back = rbd.aba(model, q, v, tau)
+        assert float(jnp.abs(a_back - a).max()) < 1e-9
+        # reach: ee at neutral is within the ~1.3 m workspace, above base
+        _, p = rbd.frame_placement(model, q, model.frame_id("ee"))
+        assert float(jnp.linalg.norm(p)) < 1.5
+
+    def test_upper_body_model_sanity(self):
+        model = make_humanoid_upper_body()
+        assert model.nv == 10  # torso(2) + 2 arms(4)
+        q = jnp.zeros(model.nq)
+        for side in ("left", "right"):
+            _, p = rbd.frame_placement(model, q, model.frame_id(f"{side}_gripper"))
+            assert bool(jnp.all(jnp.isfinite(p)))
+        # grippers are mirrored across the xz-plane at neutral
+        _, pl = rbd.frame_placement(model, q, model.frame_id("left_gripper"))
+        _, pr = rbd.frame_placement(model, q, model.frame_id("right_gripper"))
+        assert float(jnp.abs(pl[1] + pr[1]).max()) < 1e-9
+        assert float(jnp.abs(pl[0] - pr[0]).max()) < 1e-9
+
+
+class TestExamples:
+    def test_talos_arms_reach(self):
+        from examples.talos_arms import create_talos_arms_problem
+
+        problem, model, p_t = create_talos_arms_problem(nsteps=30)
+        cfg = solvers.ProxDDPConfig(
+            tol=1e-5, mu_init=1e-3, max_iters=100, rollout="nonlinear"
+        )
+        res = solvers.solve(problem, cfg)
+        assert bool(res.conv)
+        qN = res.xs[-1][: model.nq]
+        _, p = rbd.frame_placement(model, qN, model.frame_id("left_gripper"))
+        assert float(jnp.linalg.norm(p - p_t)) < 0.1
+
+    def test_ur10_midpoint_reach(self):
+        from examples.ur10_midpoint import create_ur10_midpoint_problem
+        from aligator_tpu.utils.rollout import rollout
+
+        problem, model, (u0, p_t) = create_ur10_midpoint_problem(nsteps=25)
+        us = jnp.tile(u0[None], (problem.nsteps, 1))
+        xs = rollout(problem.stages.dynamics, model.phase_space(), problem.x0, us)
+        # monotone Armijo: nonmonotone admits a diverging GN cycle here
+        cfg = solvers.ProxDDPConfig(
+            tol=1e-4, mu_init=1e-2, max_iters=80, rollout="nonlinear",
+            rollout_max_iters=5, ls_strategy="armijo",
+        )
+        res = solvers.solve(problem, cfg, xs_init=xs, us_init=us)
+        assert bool(res.conv)
+        qN = res.xs[-1][: model.nq]
+        _, p = rbd.frame_placement(model, qN, model.frame_id("ee"))
+        # at this half-length horizon the (reference-weighted) optimum sits
+        # ~0.18 m out; the full example closes further
+        assert float(jnp.linalg.norm(p - p_t)) < 0.25
+
+    def test_solo_bend_problem_wiring(self):
+        """Construction + evaluate/derivatives of the solo_bend problem.
+
+        The full nonlinear-rollout solve through contact dynamics is the
+        heaviest compile in the repo and stays out of the suite (same
+        treatment as solo_jump/biped_walk); it is validated by running the
+        example itself."""
+        from aligator_tpu import core
+        from examples.solo_bend import create_solo_bend_problem
+
+        problem, model, targets = create_solo_bend_problem(nsteps=12)
+        # the stage-varying height schedule is wired into the stacked cost
+        cost_targets = problem.stages.cost.costs[0].residual.target
+        assert cost_targets.shape[0] == 12
+        assert float(jnp.abs(cost_targets[:, 2] - targets[:, 2]).max()) == 0.0
+        assert float(targets[:, 2].min()) < float(targets[0, 2])  # it squats
+
+        N = problem.nsteps
+        xs = jnp.tile(problem.x0[None], (N + 1, 1))
+        us = jnp.zeros((N, model.nv - 6))
+        data = core.evaluate(problem, xs, us)
+        assert bool(jnp.isfinite(data.cost))
+        derivs = core.compute_derivatives(problem, xs, us)
+        for leaf in jax.tree_util.tree_leaves(derivs):
+            assert bool(jnp.all(jnp.isfinite(leaf)))
