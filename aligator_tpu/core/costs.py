@@ -98,7 +98,9 @@ class QuadraticCost(Cost):
         )
 
     def _dx(self, space, x):
-        return space.difference(space.neutral(), x)
+        # cast: neutral() has no dtype context and would otherwise promote
+        # fp32 problem data to fp64 when x64 is enabled
+        return space.difference(space.neutral().astype(x.dtype), x)
 
     def value(self, space, x, u):
         dx = self._dx(space, x)

@@ -84,7 +84,8 @@ class LinearFunction(StageFunction):
 
     def value(self, space, x, u):
         # On a vector space tangent coords coincide with x.
-        return self.A @ space.difference(space.neutral(), x) + self.B @ u + self.c
+        dx = space.difference(space.neutral().astype(x.dtype), x)
+        return self.A @ dx + self.B @ u + self.c
 
     def jacobians(self, space, x, u):
         return self.A, self.B

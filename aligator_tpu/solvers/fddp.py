@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import warnings
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +26,7 @@ from .._precision import highest_precision
 from .._pytree import pytree_dataclass, replace
 from ..core import problem as problem_mod
 from ..core.problem import TrajOptProblem
+from ..utils import logger as logger_mod
 
 
 @pytree_dataclass
@@ -41,6 +42,9 @@ class _St:
     dual: jax.Array
     K: jax.Array
     kff: jax.Array
+    alpha_last: jax.Array
+    d1_last: jax.Array
+    history: jax.Array  # (max_iters, 6) or (0, 6)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +63,15 @@ class FDDPConfig:
     th_accept_neg_step: float = 2.0
     ls_alpha_min: float = 2.0**-9
     ls_beta: float = 0.5
+    # observability, mirroring ProxDDPConfig (the reference drives the same
+    # Logger/HistoryCallback machinery for both solvers — solver-fddp.hxx
+    # logs per iteration like solver-proxddp.hxx:708-721):
+    # per-iteration [prim, dual, cost, alpha, preg, d1] rows
+    record_history: bool = False
+    # columnar trace rows printed from inside jit via jax.debug.callback
+    verbose: bool = False
+    # host Python hook called with the per-iteration trace dict
+    callback: Optional[Callable[[dict], None]] = None
 
 
 @pytree_dataclass
@@ -72,6 +85,8 @@ class FDDPResults:
     traj_cost: jax.Array
     K: Optional[jax.Array] = None
     kff: Optional[jax.Array] = None
+    # (max_iters, 6) [prim, dual, cost, alpha, preg, d1] when record_history
+    history: Optional[jax.Array] = None
 
 
 @highest_precision
@@ -204,6 +219,11 @@ def solve(
         dual=jnp.asarray(jnp.inf, dtype),
         K=jnp.zeros((N, nu, ndx), dtype),
         kff=jnp.zeros((N, nu), dtype),
+        alpha_last=jnp.asarray(0.0, dtype),
+        d1_last=jnp.asarray(0.0, dtype),
+        history=jnp.zeros(
+            (cfg.max_iters if cfg.record_history else 0, 6), dtype
+        ),
     )
 
     def body(st: _St):
@@ -213,6 +233,33 @@ def solve(
         bw = backward(data, fs, st.preg)
         dual = jnp.max(jnp.abs(bw["Qu"]))
         st = replace(st, prim=prim, dual=dual, K=bw["K"], kff=bw["kff"])
+        if cfg.record_history:
+            row = jnp.stack(
+                [prim, dual, data.cost, st.alpha_last, st.preg, st.d1_last]
+            )
+            st = replace(st, history=st.history.at[st.iter].set(row))
+        if cfg.verbose or cfg.callback is not None:
+            # per-iteration trace from inside jit (reference logs each FDDP
+            # iteration with the shared Logger, solver-fddp.hxx)
+            def _emit(it, alpha, prim_e, dual_e, cost_e, preg_e, d1_e):
+                trace = {
+                    "iter": int(it) + 1,
+                    "alpha": float(alpha),
+                    "prim_err": float(prim_e),
+                    "dual_err": float(dual_e),
+                    "preg": float(preg_e),
+                    "dphi0": float(d1_e),
+                    "cost": float(cost_e),
+                }
+                if cfg.verbose:
+                    logger_mod.log_row(trace, header=trace["iter"] == 1)
+                if cfg.callback is not None:
+                    cfg.callback(trace)
+
+            jax.debug.callback(
+                _emit, st.iter, st.alpha_last, prim, dual, data.cost,
+                st.preg, st.d1_last,
+            )
 
         converged = jnp.maximum(prim, dual) < cfg.tol
 
@@ -303,6 +350,8 @@ def solve(
                 preg=preg,
                 conv=jnp.logical_or(st.conv, conv_grad),
                 fail=jnp.logical_or(st.fail, fail),
+                alpha_last=alpha,
+                d1_last=d1,
             )
 
         st = lax.cond(
@@ -336,4 +385,5 @@ def solve(
         traj_cost=data.cost,
         K=bw["K"],
         kff=bw["kff"],
+        history=st.history if cfg.record_history else None,
     )

@@ -124,6 +124,12 @@ class ProxDDPConfig:
     # explicit dynamics only; fp32 requires mu >= ~1e-3: the penalty-folded
     # element algebra stops contracting below that — see gar/associative.py)
     linear_solver: str = "serial"
+    # runtime μ floor for 'associative': when min(mudyn, mueq) drops below
+    # this, the Newton step falls back to the serial sweep for that solve
+    # (lax.cond) instead of silently entering the scan's divergence region.
+    # None = dtype default (1e-3 fp32, 1e-7 fp64 — the measured domains in
+    # gar/associative.py).
+    associative_mu_floor: Optional[float] = None
     parallel_legs: int = 2
     force_initial_condition: bool = True
     # record per-iteration convergence traces (HistoryCallback equivalent,
@@ -731,8 +737,27 @@ def solve(
                     "associative linear solver requires explicit dynamics "
                     "on a vector space"
                 )
-            dxs, dus_p, dvs_p, dlams, factors = gar_associative.solve(
-                lq, mudyn, st.mu, return_gains=True, refine_steps=1
+            # μ-domain guard (gar/associative.py conditioning note): below
+            # the dtype floor the penalty-folded element algebra stops
+            # contracting and refinement diverges; fall back to the serial
+            # sweep per solve at runtime so BCL μ-tightening stays safe.
+            floor = cfg.associative_mu_floor
+            if floor is None:
+                floor = 1e-3 if dtype == jnp.float32 else 1e-7
+
+            def _assoc_solve(lq_):
+                return gar_associative.solve(
+                    lq_, mudyn, st.mu, return_gains=True, refine_steps=1
+                )
+
+            def _serial_solve(lq_):
+                f = riccati.backward(lq_, mudyn, st.mu, assume_explicit)
+                out = riccati.forward(f)
+                return (*out, f)
+
+            mu_ok = jnp.minimum(mudyn, st.mu) >= floor
+            dxs, dus_p, dvs_p, dlams, factors = jax.lax.cond(
+                mu_ok, _assoc_solve, _serial_solve, lq
             )
             gain_K, gain_kff = factors.K, factors.kff
         elif (

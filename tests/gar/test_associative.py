@@ -92,6 +92,54 @@ def test_proxddp_associative_linear_solver():
     assert jnp.allclose(res_a.K, res_s.K, atol=1e-5)
 
 
+def test_fp32_mu_floor_guard():
+    """ProxDDP('associative') stays correct when μ leaves the fp32 scan
+    domain (VERDICT r2 item 6): the runtime lax.cond guard falls back to
+    the serial sweep per solve instead of silently diverging.
+
+    Case (a): mu_init below the 1e-3 fp32 floor — every Newton step takes
+    the fallback. Case (b): BCL tightening (mu_update_factor=0.01 from
+    mu_init=0.01) crosses the floor mid-run on a box-constrained problem."""
+    from examples.lqr import make_lqr_problem
+
+    # (a) start below the floor
+    problem = make_lqr_problem(nsteps=24, dtype=jnp.float32)
+    base = dict(tol=1e-5, max_iters=10, rollout="linear")
+    res_s = solvers.solve(
+        problem,
+        solvers.ProxDDPConfig(
+            **base, mu_init=1e-4, linear_solver="serial_scan"
+        ),
+    )
+    res_a = solvers.solve(
+        problem,
+        solvers.ProxDDPConfig(
+            **base, mu_init=1e-4, linear_solver="associative"
+        ),
+    )
+    assert bool(res_a.conv)
+    assert jnp.allclose(res_a.us, res_s.us, atol=1e-4)
+
+    # (b) BCL drives μ from 1e-2 through the floor on a constrained problem
+    # (tight prim_tol0 forces a BCL failure → μ ← μ·1e-2 = 1e-4 < 1e-3)
+    problem_b = make_lqr_problem(nsteps=24, dtype=jnp.float32, u_bound=0.05)
+    cfg_b = dict(
+        tol=3e-4, mu_init=1e-2, mu_update_factor=1e-2, prim_tol0=1e-4,
+        max_iters=40, rollout="linear", record_history=True,
+    )
+    res_bs = solvers.solve(
+        problem_b, solvers.ProxDDPConfig(**cfg_b, linear_solver="serial_scan")
+    )
+    res_ba = solvers.solve(
+        problem_b, solvers.ProxDDPConfig(**cfg_b, linear_solver="associative")
+    )
+    assert bool(res_ba.conv)
+    # the floor was actually crossed (history column 5 records μ per iter)
+    n = int(res_ba.num_iters)
+    assert float(jnp.min(res_ba.history[:n, 5])) < 1e-3
+    assert jnp.allclose(res_ba.us, res_bs.us, atol=1e-3)
+
+
 def test_fp32_accuracy_domain():
     """fp32 accuracy of the associative path at the bench-protocol μ = 1e-3:
     with 3 Newton refinements in the combine solves + 2 KKT refinement
