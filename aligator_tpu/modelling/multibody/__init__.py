@@ -13,9 +13,16 @@ from .model import (
     nonlinear_effects,
     rnea,
 )
-from . import robots
+from . import geometry, mjcf, robots, urdf
+from .mjcf import load_mjcf
+from .urdf import load_urdf
 
 __all__ = [
+    "geometry",
+    "mjcf",
+    "urdf",
+    "load_mjcf",
+    "load_urdf",
     "RobotModel",
     "make_model",
     "forward_kinematics",

@@ -88,6 +88,10 @@ class RobotModel:
     # frame (operational point) placements
     fplac_p: jax.Array  # (nf, 3)
     fplac_q: jax.Array  # (nf, 4)
+    # per-dof reflected rotor inertia (MJCF/URDF ``armature``), added to the
+    # mass-matrix diagonal and to RNEA's τ as armature·q̈ (MuJoCo/Pinocchio
+    # convention); None ⇔ zeros
+    armature: Optional[jax.Array] = None  # (nv,)
     # static topology
     joint_types: tuple = static_field(default=())
     parents: tuple = static_field(default=())
@@ -145,7 +149,7 @@ class RobotModel:
         return self.configuration_space().neutral()
 
 
-def make_model(joints, frames=(), gravity=(0.0, 0.0, -9.81)):
+def make_model(joints, frames=(), gravity=(0.0, 0.0, -9.81), armature=None):
     """Build a RobotModel from joint descriptions.
 
     ``joints``: list of dicts with keys
@@ -154,6 +158,7 @@ def make_model(joints, frames=(), gravity=(0.0, 0.0, -9.81)):
       mass, com (3,), inertia (3,3)  [about the com, in joint frame]
     ``frames``: list of dicts: name, parent (joint idx), placement_p,
       placement_q [optional].
+    ``armature``: optional (nv,) per-dof reflected rotor inertia.
     """
     ident_q = jnp.array([0.0, 0.0, 0.0, 1.0])
 
@@ -184,6 +189,7 @@ def make_model(joints, frames=(), gravity=(0.0, 0.0, -9.81)):
         gravity=jnp.asarray(gravity, float),
         fplac_p=fp,
         fplac_q=fq,
+        armature=None if armature is None else jnp.asarray(armature, float),
         joint_types=tuple(j["type"] for j in joints),
         parents=tuple(int(j.get("parent", i - 1)) for i, j in enumerate(joints)),
         frame_parents=tuple(int(f["parent"]) for f in frames),
@@ -492,7 +498,10 @@ def rnea(model: RobotModel, q, v, a, ext_forces: Optional[jax.Array] = None,
         f = f - jnp.concatenate([fl_w, tau_w], axis=1)
 
     # tau_k = Phi_k . sum_{b in subtree(k)} f_b
-    return jnp.sum(Phi * (A.T @ f), axis=1)
+    tau = jnp.sum(Phi * (A.T @ f), axis=1)
+    if model.armature is not None:
+        tau = tau + model.armature.astype(dtype) * a
+    return tau
 
 
 def mass_matrix(model: RobotModel, q, kin=None):
@@ -512,7 +521,10 @@ def mass_matrix(model: RobotModel, q, kin=None):
         jnp.swapaxes(Psi, 1, 2),
     )  # (nj, nv, 6)
     M = jnp.einsum("bsk,bls->kl", Psi, IPsi)
-    return 0.5 * (M + M.T)
+    M = 0.5 * (M + M.T)
+    if model.armature is not None:
+        M = M + jnp.diag(model.armature.astype(dtype))
+    return M
 
 
 def nonlinear_effects(model: RobotModel, q, v):

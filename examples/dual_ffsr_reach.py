@@ -11,9 +11,14 @@ the vendored app studies.
 
 The reference app builds the model from MJCF via Pinocchio and uses
 ``aligator.FramePlacementResidual`` + control bounds + FCL collision pairs;
-here the model is the hand-authored :func:`make_dual_arm_ffsr` (Panda-chain
-arms) and the same residual/constraint zoo from this framework.
+here the model is parsed from the *same vendored MJCF* with the REAL
+masses/inertias/armature (``modelling/multibody/mjcf.load_mjcf``, validated
+against MuJoCo in ``tests/test_ingestion.py``) when the file is available,
+with the hand-authored :func:`make_dual_arm_ffsr` (Panda-chain arms) as a
+fallback; the residual/constraint zoo is this framework's.
 """
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,16 +39,42 @@ from aligator_tpu.modelling.multibody.robots import (
 )
 
 
+FFSR_MJCF = "/root/reference/dual-FFSR_ProxDDP/xml/dual_arm_space_robot.xml"
+
+
+def load_ffsr_model(use_mjcf=None):
+    """The FFSR model: parsed from the vendored MJCF (real parameters,
+    free-flyer bus, grasp object dropped) when available, else the
+    hand-authored nominal model. Returns (model, tool frame names, u_max):
+    torque bounds are the MJCF's ``actuatorfrcrange`` ±500 for the real
+    model, Panda-scale efforts for the nominal one."""
+    if use_mjcf is None:
+        use_mjcf = os.path.exists(FFSR_MJCF)
+    if use_mjcf:
+        from aligator_tpu.modelling.multibody.mjcf import load_mjcf
+
+        model, _ = load_mjcf(
+            FFSR_MJCF, root_joint="freeflyer", skip_bodies=("object",)
+        )
+        return model, ("grip1", "grip2"), [500.0] * 14
+    return (
+        make_dual_arm_ffsr(),
+        ("arm1_tool", "arm2_tool"),
+        [87.0, 87.0, 87.0, 87.0, 12.0, 12.0, 12.0] * 2,
+    )
+
+
 def create_ffsr_problem(
     nsteps=60,
     timestep=0.05,
     with_collision=False,
     with_self_collision=False,
     dtype=jnp.float64,
+    use_mjcf=None,
 ):
     """Coordinated dual-tool reach from the vendored app's nominal arm
     postures to displaced world-frame target poses."""
-    model = make_dual_arm_ffsr()
+    model, (tool1, tool2), u_max_list = load_ffsr_model(use_mjcf)
     nv = model.nv  # 20
     nu = nv - 6  # 14: base unactuated
     space = model.phase_space()
@@ -66,7 +97,7 @@ def create_ffsr_problem(
     dq = dq.at[jnp.array([15, 17, 19])].set(jnp.asarray([-0.3, 0.3, -0.2], dtype))
     q_tgt = q0 + dq
     targets = {}
-    for name in ("arm1_tool", "arm2_tool"):
+    for name in (tool1, tool2):
         R_t, p_t = rbd.frame_placement(model, q_tgt, model.frame_id(name))
         targets[name] = (R_t.astype(dtype), p_t.astype(dtype))
 
@@ -88,32 +119,30 @@ def create_ffsr_problem(
     w6 = jnp.eye(6, dtype=dtype)
     rcost = core.CostStack.create(
         core.QuadraticResidualCost(
-            residual=pose_res["arm1_tool"], weights=5.0 * w6 * timestep
+            residual=pose_res[tool1], weights=5.0 * w6 * timestep
         ),
         core.QuadraticResidualCost(
-            residual=pose_res["arm2_tool"], weights=5.0 * w6 * timestep
+            residual=pose_res[tool2], weights=5.0 * w6 * timestep
         ),
         core.QuadraticControlCost(1e-3 * jnp.eye(nu, dtype=dtype) * timestep),
     )
     term_cost = core.CostStack.create(
         core.QuadraticResidualCost(
-            residual=pose_res["arm1_tool"], weights=200.0 * w6
+            residual=pose_res[tool1], weights=200.0 * w6
         ),
         core.QuadraticResidualCost(
-            residual=pose_res["arm2_tool"], weights=200.0 * w6
+            residual=pose_res[tool2], weights=200.0 * w6
         ),
         core.QuadraticResidualCost(
-            residual=vel_res["arm1_tool"], weights=20.0 * w6
+            residual=vel_res[tool1], weights=20.0 * w6
         ),
         core.QuadraticResidualCost(
-            residual=vel_res["arm2_tool"], weights=20.0 * w6
+            residual=vel_res[tool2], weights=20.0 * w6
         ),
     )
 
-    # torque bounds (the app's --bounds flag; Panda-scale efforts)
-    u_max = jnp.asarray(
-        [87.0, 87.0, 87.0, 87.0, 12.0, 12.0, 12.0] * 2, dtype
-    )
+    # torque bounds (the app's --bounds flag)
+    u_max = jnp.asarray(u_max_list, dtype)
     constraints = [
         (
             core.ControlErrorResidual(target=jnp.zeros((nu,), dtype)),
@@ -123,14 +152,14 @@ def create_ffsr_problem(
     if with_collision:
         # capsule obstacle ahead of the bus (the app's box obstacle, here a
         # capsule as in frame-collision.hpp); keep arm-1 tool clear of it
-        seg_a = jnp.asarray(targets["arm1_tool"][1], dtype) + jnp.array(
+        seg_a = jnp.asarray(targets[tool1][1], dtype) + jnp.array(
             [0.3, 0.0, -0.5], dtype
         )
         seg_b = seg_a + jnp.array([0.0, 0.0, 1.0], dtype)
         coll = FrameCollisionResidual(
             model=model, seg_a=seg_a, seg_b=seg_b,
             radius=jnp.asarray(0.15, dtype),
-            frame_id=model.frame_id("arm1_tool"),
+            frame_id=model.frame_id(tool1),
         )
         constraints.append((coll, core.NegativeOrthant()))
     if with_self_collision:
@@ -148,8 +177,8 @@ def create_ffsr_problem(
             radius2=jnp.asarray(0.06, dtype),
             offset1=jnp.zeros(3, dtype), offset2=jnp.zeros(3, dtype),
             margin=jnp.asarray(0.02, dtype),
-            frame_id1=model.frame_id("arm1_tool"),
-            frame_id2=model.frame_id("arm2_tool"),
+            frame_id1=model.frame_id(tool1),
+            frame_id2=model.frame_id(tool2),
         )
         constraints.append((self_coll, core.NegativeOrthant()))
 

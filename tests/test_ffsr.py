@@ -70,8 +70,11 @@ def test_ffsr_reach_solve():
     )
     res = solvers.solve(problem, cfg)
     assert bool(res.conv), (float(res.prim_infeas), float(res.dual_infeas))
-    # torque bounds respected
-    assert float(jnp.max(jnp.abs(res.us[:, :4]))) <= 87.0 + 1e-6
+    # torque bounds respected (500 for the parsed MJCF model, 87 nominal)
+    from examples.dual_ffsr_reach import load_ffsr_model
+
+    _, _, u_max = load_ffsr_model()
+    assert float(jnp.max(jnp.abs(res.us[:, :4]))) <= u_max[0] + 1e-6
     # tools moved toward their targets
     qN = res.xs[-1][: model.nq]
     q0 = res.xs[0][: model.nq]
