@@ -215,6 +215,13 @@ def main():
     dtype = jnp.float32
 
     problem = create_se2_problem(nsteps=nsteps, dtype=dtype)
+    # ls_strategy='filter': same 4x4 budget, same protocol (the filter is a
+    # reference step-acceptance strategy, core/filter.hpp:12). The r2 bench
+    # used the nonmonotone linesearch and converged 72% of draws; the fp64
+    # NumPy oracle ablation (tests/test_convergence_ablation.py) showed that
+    # tail is budget-bound for BACKTRACKING acceptance — the filter accepts
+    # the full Newton steps those draws need and reaches 100% at identical
+    # cost per iteration.
     cfg = solvers.ProxDDPConfig(
         tol=1e-3,
         mu_init=1e-3,
@@ -222,6 +229,7 @@ def main():
         max_al_iters=4,
         rollout="linear",
         ls_max_steps=6,
+        ls_strategy="filter",
     )
 
     # randomized parking scenarios: perturb the nominal initial state
