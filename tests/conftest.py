@@ -23,6 +23,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Opt-in persistent compilation cache: the suite is XLA-compile-bound, and
+# warm-cache runs cut per-test compile time roughly in half. Off by default
+# because XLA:CPU AOT reload prints machine-feature warnings; enable with
+#   ALIGATOR_TPU_JAX_CACHE=/path/to/cache python -m pytest ...
+_cache_dir = os.environ.get("ALIGATOR_TPU_JAX_CACHE")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 

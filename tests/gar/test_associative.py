@@ -140,6 +140,7 @@ def test_fp32_mu_floor_guard():
     assert jnp.allclose(res_ba.us, res_bs.us, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_fp32_accuracy_domain():
     """fp32 accuracy of the associative path at the bench-protocol μ = 1e-3:
     with 3 Newton refinements in the combine solves + 2 KKT refinement

@@ -2,6 +2,7 @@
 centroidal momentum (validated against total momentum identities)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 
 from aligator_tpu.modelling.multibody import model as rbd
@@ -116,6 +117,7 @@ def test_segment_segment_sqdist():
         assert abs(d2 - brute) < 1e-3 + 1e-2 * brute, (d2, brute)
 
 
+@pytest.mark.slow
 def test_link_collision_residual_self_collision():
     """Capsule-capsule self-collision residual on the dual-arm FFSR: the
     nominal posture is collision-free (r < 0); forcing the arms together

@@ -7,6 +7,7 @@ ProxDDP solves a short-horizon coordinated dual-tool reach.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,6 +57,7 @@ def test_ffsr_zero_gravity_momentum_conservation():
     assert float(jnp.linalg.norm(a[:6])) > 1e-3
 
 
+@pytest.mark.slow
 def test_ffsr_reach_solve():
     from examples.dual_ffsr_reach import create_ffsr_problem
 

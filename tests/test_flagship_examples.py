@@ -7,10 +7,12 @@ integration bit-rot the unit tests can't.
 """
 
 import jax.numpy as jnp
+import pytest
 
 from aligator_tpu import solvers
 
 
+@pytest.mark.slow
 def test_talos_walk_short_horizon():
     """Whole-body Talos walk (nv=28, 6D flat-foot contact schedule) on a
     2-step gait snippet: the solver must reach protocol tolerances."""
@@ -27,6 +29,7 @@ def test_talos_walk_short_horizon():
     assert float(jnp.min(res.xs[:, 2])) > 0.5
 
 
+@pytest.mark.slow
 def test_panda_reach_with_collision():
     """Panda SE(3) reach with capsule collision constraints and torque
     bounds (examples/panda_mujoco_test_se3_collision.py role)."""

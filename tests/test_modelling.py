@@ -168,6 +168,7 @@ def test_direct_sum_dynamics():
     assert jnp.allclose(y[2:], 1.1 * x[2:] + 1.0)
 
 
+@pytest.mark.slow
 def test_kinodynamics_stacked_stages_solve():
     """Kinodynamics end-to-end with stage-varying contact schedules: the
     centroidal block obeys Newton-Euler and swing contacts carry no force.
@@ -214,6 +215,7 @@ def test_wheeled_inverted_pendulum_transfer():
     assert float(jnp.max(jnp.abs(res.us))) <= 3.0 + 1e-6  # torque bound
 
 
+@pytest.mark.slow
 def test_flexible_double_pendulum_swingup():
     """Flexible (spring-segmented) double pendulum swing-up — reference
     examples/flexible_double_pendulum.py role: underactuated chain with
@@ -241,6 +243,7 @@ def test_flexible_double_pendulum_swingup():
     assert float(jnp.max(jnp.abs(res.xs[:, 1]))) > 0.01
 
 
+@pytest.mark.slow
 def test_ur5_ballistic_throw():
     """Ballistic throw (reference examples/ur10_ballistic.py role): terminal
     equality on the analytic landing map of the release-state projectile;

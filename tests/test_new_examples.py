@@ -4,6 +4,7 @@
 UR10 and upper-body models they introduce."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 
 from aligator_tpu import solvers
@@ -42,6 +43,7 @@ class TestModels:
 
 
 class TestExamples:
+    @pytest.mark.slow
     def test_talos_arms_reach(self):
         from examples.talos_arms import create_talos_arms_problem
 
@@ -55,6 +57,7 @@ class TestExamples:
         _, p = rbd.frame_placement(model, qN, model.frame_id("left_gripper"))
         assert float(jnp.linalg.norm(p - p_t)) < 0.1
 
+    @pytest.mark.slow
     def test_ur10_midpoint_reach(self):
         from examples.ur10_midpoint import create_ur10_midpoint_problem
         from aligator_tpu.utils.rollout import rollout
@@ -90,7 +93,11 @@ class TestExamples:
         cost_targets = problem.stages.cost.costs[0].residual.target
         assert cost_targets.shape[0] == 12
         assert float(jnp.abs(cost_targets[:, 2] - targets[:, 2]).max()) == 0.0
-        assert float(targets[:, 2].min()) < float(targets[0, 2])  # it squats
+        # it squats: the whole schedule sits below the standing height and
+        # varies over the horizon (the sin^2 schedule's min is at t=0, so
+        # comparing to targets[0] would be an exact-equality non-test)
+        assert float(targets[:, 2].max()) < float(problem.x0[2])
+        assert float(targets[:, 2].max()) > float(targets[:, 2].min())
 
         N = problem.nsteps
         xs = jnp.tile(problem.x0[None], (N + 1, 1))

@@ -111,6 +111,7 @@ def test_parity_se2_car():
     assert bool(res.conv)
 
 
+@pytest.mark.slow
 def test_parity_ur5_reach():
     """Multibody workload: UR5 end-effector reach (examples/ur5_reach.py)."""
     from examples.ur5_reach import create_ur5_problem

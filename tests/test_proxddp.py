@@ -223,6 +223,7 @@ def test_ls_interp_variants(interp):
     assert float(jnp.max(jnp.abs(res.us))) <= 0.1 + 1e-6
 
 
+@pytest.mark.slow
 def test_dynamics_vhp_finite_differences():
     """Costate-contracted dynamics VHPs (exact-Hessian mode) match finite
     differences of λᵀr (reference computeVectorHessianProducts,
@@ -270,6 +271,7 @@ def test_dynamics_vhp_finite_differences():
     assert np.allclose(H, H_fd, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_exact_hessian_mode():
     """hessian_approx='exact' (reference HessianApprox::EXACT): on the
     pendulum swing-up at tight tolerance, Gauss-Newton stalls (hits
@@ -351,6 +353,7 @@ def test_no_retrace_across_calls():
     assert run._cache_size() == 1
 
 
+@pytest.mark.slow
 def test_filter_eviction_when_pool_full():
     """With a tiny filter pool the solver must still converge: when the pool
     fills, the max-merit (least binding) entry is evicted rather than
