@@ -16,6 +16,7 @@ from .lqr_problem import (
     dense_kkt,
     dense_solve,
     kkt_error,
+    random_convex_problem,
     random_problem,
     split_solution,
 )
@@ -36,6 +37,7 @@ __all__ = [
     "dense_kkt",
     "dense_solve",
     "kkt_error",
+    "random_convex_problem",
     "random_problem",
     "initialize_solution",
     "split_solution",

@@ -205,6 +205,52 @@ def random_problem(
     return LQRProblem(knots=knots, G0=G0, g0=g0)
 
 
+def random_convex_problem(
+    key,
+    N: int,
+    nx: int,
+    nu: int,
+    nc: int,
+    nc0: Optional[int] = None,
+    dtype=jnp.float64,
+) -> LQRProblem:
+    """Random LQ problem with JOINTLY convex stage costs: every
+    ``[[Q, S], [S', R]]`` block is a single Wishart draw, so it is PSD
+    (plus a small ridge on R).
+
+    This is the class of LQ subproblem a converging ProxDDP actually
+    emits (Gauss-Newton quadratics + preg·I are PSD by construction,
+    ``solver-proxddp.hxx:802``) and the operating domain of the pivot-free
+    parallel-in-time kernel: partial minimization at a leg-terminal knot
+    then yields a PSD leg value function, keeping every in-leg Schur
+    complement SPD. ``random_problem``'s independent Q/R draws with a dense
+    S can make the joint block indefinite — the serial sweep tolerates that
+    (terminal padding keeps its recursion in the SPD domain on typical
+    draws), but leg-split sweeps may not (the reference covers such draws
+    with Bunch-Kaufman pivoting, ``gar/riccati-kernel.hxx``; its ProxDDP
+    likewise convexifies via preg escalation when a factorization fails).
+    """
+    if nc0 is None:
+        nc0 = nx
+    base = random_problem(key, N, nx, nu, nc, nc0=nc0, dtype=dtype)
+    kn = base.knots
+    T = N + 1
+    keys = jax.random.split(jax.random.fold_in(key, 1), T)
+    joint = jax.vmap(
+        lambda kk: random_wishart(kk, nx + nu, nx + nu + 2, dtype)
+    )(keys)
+    Q = joint[:, :nx, :nx]
+    S = joint[:, :nx, nx:]
+    R = joint[:, nx:, nx:] + 0.1 * jnp.eye(nu, dtype=dtype)
+    # keep the terminal padding from random_problem
+    Q = Q.at[N].set(kn.Q[N])
+    S = S.at[N].set(0.0)
+    R = R.at[N].set(jnp.eye(nu, dtype=dtype))
+    from .._pytree import replace
+
+    return replace(base, knots=replace(kn, Q=Q, S=S, R=R))
+
+
 # ---------------------------------------------------------------------------
 # Dense KKT assembly (test oracle) and KKT error
 # ---------------------------------------------------------------------------

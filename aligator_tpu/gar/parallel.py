@@ -18,6 +18,18 @@ shapes — the TPU-native equivalent of ragged work ranges.
 
 Requirement: ``nc0 == nx`` (state-dimension initial constraint) so the
 condensed blocks are uniform — the natural TPU padding convention.
+
+Operating domain: stage-wise jointly convex costs (``[[Q, S], [S', R]]``
+PSD) — which is what ProxDDP emits by construction (Gauss-Newton
+quadratics + preg·I). Leg-terminal partial minimization then yields PSD
+leg value functions and every in-leg Schur complement stays SPD for the
+pivot-free Cholesky kernel. On *indefinite* stage blocks (possible under
+``gar.random_problem``'s independent Q/R draws at medium dims) a leg
+sweep can produce an indefinite value function and NaN out — the
+reference covers that class with Bunch-Kaufman pivoting
+(``gar/riccati-kernel.hxx``); here, convexify first (as the solver does
+via preg escalation) or use the serial sweep. See
+``gar.random_convex_problem``.
 """
 
 from __future__ import annotations

@@ -122,7 +122,8 @@ def _terminal_solve(kn, t, mueq, nth):
     return out
 
 
-def _stage_kernel(knot, carry, mudyn, mueq, assume_explicit, nth):
+def _stage_kernel(knot, carry, mudyn, mueq, assume_explicit, nth,
+                  bf16_prop: bool = False):
     """One backward Riccati stage (reference stageKernelSolve,
     riccati-kernel.hxx:166). ``carry`` holds the next stage's value function
     (P, p) and, if parametric, (Vxt, Vtt, vt).
@@ -156,11 +157,25 @@ def _stage_kernel(knot, carry, mudyn, mueq, assume_explicit, nth):
     Vxx = _sym(schur_solve(Ptilde))
     vx = schur_solve(ptilde + Ptilde @ f)
 
-    AtV = A.T @ Vxx
-    BtV = B.T @ Vxx
-    Qhat = Q + AtV @ A
-    Rhat = R + BtV @ B
-    Shat = S + AtV @ B
+    if bf16_prop:
+        # ablation knob (round-3 VERDICT item 3b): run the value-propagation
+        # GEMMs A'V, B'V, A'VA, B'VB, A'VB in bf16 inputs with fp32
+        # accumulation, keeping the KKT core (Schur solve, reduced KKT,
+        # gains) in fp32 per the _precision.py policy. Halves the HBM bytes
+        # of the widest per-stage operands at medium dims.
+        bf = jnp.bfloat16
+        Ab, Bb, Vb = A.astype(bf), B.astype(bf), Vxx.astype(bf)
+        AtV = jnp.matmul(Ab.T, Vb, preferred_element_type=dt)
+        BtV = jnp.matmul(Bb.T, Vb, preferred_element_type=dt)
+        Qhat = Q + jnp.matmul(AtV.astype(bf), Ab, preferred_element_type=dt)
+        Rhat = R + jnp.matmul(BtV.astype(bf), Bb, preferred_element_type=dt)
+        Shat = S + jnp.matmul(AtV.astype(bf), Bb, preferred_element_type=dt)
+    else:
+        AtV = A.T @ Vxx
+        BtV = B.T @ Vxx
+        Qhat = Q + AtV @ A
+        Rhat = R + BtV @ B
+        Shat = S + AtV @ B
     qhat = q + A.T @ vx
     rhat = r + B.T @ vx
 
@@ -235,7 +250,8 @@ def _initial_solve(P0, p0, G0, g0, mudyn, Vxt0=None):
     return x0, lam0, None, None
 
 
-def sweep(kn: LQRKnots, mudyn, mueq, assume_explicit: bool = False):
+def sweep(kn: LQRKnots, mudyn, mueq, assume_explicit: bool = False,
+          unroll: int = 1, bf16_prop: bool = False):
     """Backward Riccati sweep over a knot sequence (no initial-stage solve).
 
     Returns ``(carry, stages)`` where ``carry`` is the value function
@@ -266,9 +282,11 @@ def sweep(kn: LQRKnots, mudyn, mueq, assume_explicit: bool = False):
         knot_fields.update(Gx=kn.Gx[:N], Gu=kn.Gu[:N], Gth=kn.Gth[:N], gamma=kn.gamma[:N])
 
     def scan_body(carry, knot):
-        return _stage_kernel(knot, carry, mudyn, mueq, assume_explicit, nth)
+        return _stage_kernel(knot, carry, mudyn, mueq, assume_explicit, nth,
+                             bf16_prop)
 
-    carry_f, stages = lax.scan(scan_body, carry0, knot_fields, reverse=True)
+    carry_f, stages = lax.scan(scan_body, carry0, knot_fields, reverse=True,
+                               unroll=unroll)
 
     zero_vec = jnp.zeros((nx,), dt)
     zero_mat = jnp.zeros((nx, nx), dt)
@@ -308,6 +326,8 @@ def backward(
     mudyn,
     mueq,
     assume_explicit: bool = False,
+    unroll: int = 1,
+    bf16_prop: bool = False,
 ) -> RiccatiFactors:
     """Backward Riccati sweep over the full horizon.
 
@@ -319,7 +339,8 @@ def backward(
     kn = problem.knots
     nth = kn.nth
 
-    carry_f, stages = sweep(kn, mudyn, mueq, assume_explicit)
+    carry_f, stages = sweep(kn, mudyn, mueq, assume_explicit,
+                            unroll=unroll, bf16_prop=bf16_prop)
 
     P0, p0 = carry_f["P"], carry_f["p"]
     Vxt0 = carry_f["Vxt"] if nth > 0 else None
@@ -366,6 +387,7 @@ def forward(
     theta: Optional[jax.Array] = None,
     x0: Optional[jax.Array] = None,
     lam0: Optional[jax.Array] = None,
+    unroll: int = 1,
 ):
     """Forward substitution (reference forwardImpl, riccati-kernel.hxx:302).
 
@@ -408,7 +430,7 @@ def forward(
             Lth=factors.Lth[:N], Yth=factors.Yth[:N],
         )
 
-    xN, outs = lax.scan(body, x0, fields)
+    xN, outs = lax.scan(body, x0, fields, unroll=unroll)
 
     uN = factors.kff[N] + factors.K[N] @ xN
     vN = factors.zff[N] + factors.Z[N] @ xN
@@ -433,10 +455,12 @@ def solve(problem: LQRProblem, mudyn, mueq, assume_explicit: bool = False,
 _GAIN_FIELDS = ("kff", "K", "zff", "Z", "lff", "L", "yff", "Afb")
 
 
-def _make_solve_and_gains(assume_explicit: bool):
+def _make_solve_and_gains(assume_explicit: bool, unroll: int = 1,
+                          bf16_prop: bool = False):
     def scan_path(problem: LQRProblem, mudyn, mueq):
-        factors = backward(problem, mudyn, mueq, assume_explicit)
-        xs, us, vs, lams = forward(factors)
+        factors = backward(problem, mudyn, mueq, assume_explicit,
+                           unroll=unroll, bf16_prop=bf16_prop)
+        xs, us, vs, lams = forward(factors, unroll=unroll)
         gains = {k: getattr(factors, k) for k in _GAIN_FIELDS}
         return xs, us, vs, lams, gains
 
@@ -480,14 +504,23 @@ def _make_solve_and_gains(assume_explicit: bool):
     return fn
 
 
-_SOLVE_AND_GAINS = {
-    True: _make_solve_and_gains(True),
-    False: _make_solve_and_gains(False),
-}
+_SOLVE_AND_GAINS = {}
+
+
+def _get_solve_and_gains(assume_explicit: bool, unroll: int,
+                         bf16_prop: bool):
+    # memoized per option tuple: custom_vmap objects must be built once at
+    # module scope semantics (rebuilding per call would retrace)
+    key = (bool(assume_explicit), int(unroll), bool(bf16_prop))
+    fn = _SOLVE_AND_GAINS.get(key)
+    if fn is None:
+        fn = _SOLVE_AND_GAINS[key] = _make_solve_and_gains(*key)
+    return fn
 
 
 def solve_and_gains(problem: LQRProblem, mudyn, mueq,
-                    assume_explicit: bool = True):
+                    assume_explicit: bool = True, unroll: int = 1,
+                    bf16_prop: bool = False):
     """Solve + per-stage gains, with a TPU fused-kernel fast path under vmap.
 
     Unbatched, this is ``backward`` + ``forward`` (the XLA scan path). Under
@@ -501,8 +534,15 @@ def solve_and_gains(problem: LQRProblem, mudyn, mueq,
     evolves independently). ``assume_explicit`` selects the E = −I fast
     path; with ``False`` the kernel inverts the stage E-blocks (manifold
     difference-chart Jacobians).
+
+    ``unroll`` unrolls k stages per scan step on the XLA path (amortizes
+    per-step launch overhead at medium dims); ``bf16_prop`` runs the
+    value-propagation GEMMs in bf16 with fp32 accumulation (the KKT core
+    stays fp32). Both are no-ops on the fused-Pallas dispatch.
     """
-    return _SOLVE_AND_GAINS[bool(assume_explicit)](problem, mudyn, mueq)
+    return _get_solve_and_gains(assume_explicit, unroll, bf16_prop)(
+        problem, mudyn, mueq
+    )
 
 
 def solve_refined(

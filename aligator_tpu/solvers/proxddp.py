@@ -124,6 +124,13 @@ class ProxDDPConfig:
     # explicit dynamics only; fp32 requires mu >= ~1e-3: the penalty-folded
     # element algebra stops contracting below that — see gar/associative.py)
     linear_solver: str = "serial"
+    # XLA-scan Riccati tuning (medium dims, nx > 8, where the fused Pallas
+    # kernel doesn't apply): unroll k stages per scan step (amortizes
+    # per-step launch/HBM round-trips), and optionally run the value-
+    # propagation GEMMs (A'V, B'V, A'VA, ...) in bf16 inputs with fp32
+    # accumulation while the KKT core stays fp32 (_precision.py policy).
+    lq_scan_unroll: int = 1
+    lq_bf16_prop: bool = False
     # runtime μ floor for 'associative': when min(mudyn, mueq) drops below
     # this, the Newton step falls back to the serial sweep for that solve
     # (lax.cond) instead of silently entering the scan's divergence region.
@@ -770,7 +777,8 @@ def solve(
             # batched-MPC execution model) the whole batch goes to the fused
             # Pallas TPU kernel when eligible (gar/pallas_riccati.py)
             dxs, dus_p, dvs_p, dlams, gains = riccati.solve_and_gains(
-                lq, mudyn, st.mu, assume_explicit
+                lq, mudyn, st.mu, assume_explicit,
+                unroll=cfg.lq_scan_unroll, bf16_prop=cfg.lq_bf16_prop,
             )
             factors = riccati.RiccatiFactors(
                 **gains,
@@ -781,8 +789,13 @@ def solve(
             )
             gain_K, gain_kff = factors.K, factors.kff
         else:
-            factors = riccati.backward(lq, mudyn, st.mu, assume_explicit)
-            dxs, dus_p, dvs_p, dlams = riccati.forward(factors)
+            factors = riccati.backward(
+                lq, mudyn, st.mu, assume_explicit,
+                unroll=cfg.lq_scan_unroll, bf16_prop=cfg.lq_bf16_prop,
+            )
+            dxs, dus_p, dvs_p, dlams = riccati.forward(
+                factors, unroll=cfg.lq_scan_unroll
+            )
             gain_K, gain_kff = factors.K, factors.kff
         dus = dus_p[:N]
         dvs = dvs_p[:N, :nc]

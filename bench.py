@@ -22,6 +22,10 @@ Extras in the same line:
     light" claim, which did not survive measurement with synchronous
     readback.
 
+  * ``lqr56_proxddp_solves_per_sec`` / ``lqr56_fddp_solves_per_sec`` —
+    both solvers at the reference dense-LQR shape (``bench/lqr.cpp:23-57``,
+    nx=56, nu=22, N=100, max_iters=2), batch 256.
+
 Baseline: the north-star target is 10,000 solves/s on a v5e-64 slice
 (BASELINE.md) → 156.25 solves/s/chip; vs_baseline = value / 156.25.
 """
@@ -284,6 +288,11 @@ def main():
 
     humanoid_sps = bench_humanoid()
     lq = bench_gar_lq()
+    # ProxDDP-vs-FDDP at the reference bench/lqr.cpp shape (VERDICT r2
+    # item 8: one JSON line carries both solvers)
+    from bench_lqr import run_both as lqr_run_both
+
+    lqr_rates = lqr_run_both(batch=256)
 
     out = {
         "metric": "se2car_solves_per_sec",
@@ -295,6 +304,8 @@ def main():
         "gar_fused_lq_solves_per_sec": round(lq["fused_solves_per_sec"], 1),
         "gar_fused_speedup_vs_scan": round(lq["fused_speedup_vs_scan"], 2),
         "gar_fused_min_traffic_gbps": round(lq["fused_min_traffic_gbps"], 1),
+        "lqr56_proxddp_solves_per_sec": round(lqr_rates["proxddp"], 1),
+        "lqr56_fddp_solves_per_sec": round(lqr_rates["fddp"], 1),
     }
     print(json.dumps(out))
 

@@ -45,8 +45,10 @@ def make_dense_lqr(nx=56, nu=22, nsteps=100, dtype=jnp.float32):
     return core.make_problem(x0, stage, nsteps, term)
 
 
-def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+def run_both(batch=256):
+    """ProxDDP-vs-FDDP solves/s at the reference lqr.cpp shape; returns a
+    dict (also folded into ``bench.py``'s single JSON line, VERDICT r2
+    item 8 — the reference compares both solvers in ``bench/lqr.cpp:23-57``)."""
     dtype = jnp.float32
     problem = make_dense_lqr(dtype=dtype)
     nx = problem.x0.shape[0]
@@ -66,6 +68,7 @@ def main():
             solvers.FDDPConfig(tol=1e-7, max_iters=2),
         ).us,
     }
+    out = {}
     for name, one in runs.items():
         f = jax.jit(lambda xs: jax.vmap(one)(xs))
         float(f(x0s).sum())  # compile + warm
@@ -74,14 +77,21 @@ def main():
             t0 = time.perf_counter()
             float(f(x0s + jnp.asarray(i * 1e-6, dtype)).sum())
             ts.append(time.perf_counter() - t0)
-        dt = min(ts)
+        out[name] = batch / min(ts)
+    return out
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    rates = run_both(batch)
+    for name, rate in rates.items():
         print(
             json.dumps(
                 {
                     "metric": f"lqr56_{name}_solves_per_sec",
-                    "value": round(batch / dt, 1),
+                    "value": round(rate, 1),
                     "unit": "solves/s",
-                    "nx": nx,
+                    "nx": 56,
                     "nu": 22,
                     "nsteps": 100,
                     "batch": batch,

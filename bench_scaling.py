@@ -105,12 +105,7 @@ def main_time():
     from aligator_tpu.gar import parallel as gar_parallel
     from aligator_tpu.gar import riccati
 
-    N, nx, nu = 1023, 8, 4
-    prob = gar.random_problem(
-        jax.random.PRNGKey(0), N, nx, nu, 0, dtype=jnp.float32
-    )
-
-    def timed(fn, reps=3):
+    def timed(fn, prob, reps=3):
         # host readback, not block_until_ready: on the tunneled backend only
         # a float(...) readback reliably waits for remote execution
         # (CLAUDE.md timing rules / bench.py)
@@ -125,35 +120,47 @@ def main_time():
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t_serial = timed(
-        jax.jit(lambda p: riccati.solve(p, 1e-3, 1e-3, True))
-    )
-    print(json.dumps({
-        "metric": "pit_scaling_serial", "value": round(t_serial * 1e3, 2),
-        "unit": "ms/solve", "devices": 1,
-    }))
-
     devices = jax.devices()
-    base = None
-    for n in (1, 2, len(devices)):
-        if n > len(devices):
-            continue
-        mesh = Mesh(np.array(devices[:n]), axis_names=("time",))
-        tsh = NamedSharding(mesh, P("time"))
-        fn = jax.jit(
-            lambda p, tsh=tsh: gar_parallel.solve(
-                p, 1e-3, 1e-3, legs=8, assume_explicit=True,
-                time_sharding=tsh,
-            )
+    # two shapes: the small-dim long-horizon latency case, and the
+    # medium-dim (nx=36 — humanoid/reference gar-riccati.cpp:18) case where
+    # the condensed-system collectives actually carry nx*nx blocks
+    # (VERDICT r2 item 9)
+    for tag, N, nx, nu in (("", 1023, 8, 4), ("meddim_", 511, 36, 12)):
+        # jointly convex stage costs: the leg-split kernel's operating
+        # domain (gar.random_convex_problem docstring)
+        prob = gar.random_convex_problem(
+            jax.random.PRNGKey(0), N, nx, nu, 0, dtype=jnp.float32
         )
-        t = timed(fn)
-        if base is None:
-            base = t
+        t_serial = timed(
+            jax.jit(lambda p: riccati.solve(p, 1e-3, 1e-3, True)), prob
+        )
         print(json.dumps({
-            "metric": f"pit_scaling_{n}dev",
-            "value": round(t * 1e3, 2), "unit": "ms/solve", "devices": n,
-            "speedup_vs_1dev": round(base / t, 3),
+            "metric": f"pit_scaling_{tag}serial",
+            "value": round(t_serial * 1e3, 2),
+            "unit": "ms/solve", "devices": 1,
         }))
+
+        base = None
+        for n in (1, 2, len(devices)):
+            if n > len(devices):
+                continue
+            mesh = Mesh(np.array(devices[:n]), axis_names=("time",))
+            tsh = NamedSharding(mesh, P("time"))
+            fn = jax.jit(
+                lambda p, tsh=tsh: gar_parallel.solve(
+                    p, 1e-3, 1e-3, legs=8, assume_explicit=True,
+                    time_sharding=tsh,
+                )
+            )
+            t = timed(fn, prob)
+            if base is None:
+                base = t
+            print(json.dumps({
+                "metric": f"pit_scaling_{tag}{n}dev",
+                "value": round(t * 1e3, 2), "unit": "ms/solve",
+                "devices": n,
+                "speedup_vs_1dev": round(base / t, 3),
+            }))
 
 
 if __name__ == "__main__" and "--time" in sys.argv:

@@ -10,6 +10,15 @@ converge (see examples/talos_walk.py).
 Prints ONE JSON line. Kept separate from bench.py because the whole-body
 autodiff stack compiles for ~6 min on the tunneled TPU.
 
+``--profile`` (VERDICT r2 item 7): per-phase device timings of one solver
+iteration's components, each jitted separately and timed with the chained
+perturbation + host-readback discipline — problem evaluation (a linesearch
+trial: contact-KKT forward dynamics + costs), derivative evaluation (RBD +
+contact-KKT Jacobians via autodiff), multiplier/LQ assembly, and the LQ
+Riccati solve (ndx=56) — to identify the saturating component of the
+whole-body solve (reference per-zone Tracy profile of
+``bench/talos-walk.cpp``).
+
 Measured (TPU v5e, 2026-08-19): {"metric": "talos_walk_solves_per_sec",
 "value": 20.3, "unit": "solves/s", "batch": 16, "nsteps": 32}
 """
@@ -77,5 +86,138 @@ def main():
     )
 
 
+def profile(batch=16):
+    """Per-phase device timings of the whole-body solve's components."""
+    import types
+
+    from aligator_tpu.core import problem as problem_mod
+    from aligator_tpu.gar import riccati
+    from aligator_tpu.solvers import proxddp as P
+
+    problem, model, sched = create_talos_walk_problem(
+        t_ds=4, t_ss=10, dtype=jnp.float32
+    )
+    cfg = solvers.ProxDDPConfig(
+        tol=1e-3, mu_init=1e-3, max_iters=4, max_al_iters=4,
+        rollout="linear", ls_max_steps=6, force_initial_condition=True,
+    )
+    N = problem.nsteps
+    ndx, nu = problem.space.ndx, problem.nu
+    nc, nct = problem.nc, problem.nc_term
+    dtype = jnp.float32
+    x0 = problem.x0
+    d0 = 0.01 * jax.random.normal(
+        jax.random.PRNGKey(0), (batch, model.nv), dtype
+    )
+
+    def iterates(dvi):
+        x0i = x0.at[model.nq:].add(dvi)
+        xs = jnp.broadcast_to(x0i, (N + 1,) + x0i.shape)
+        us = jnp.zeros((N, nu), dtype)
+        return x0i, xs, us
+
+    mu = jnp.asarray(cfg.mu_init, dtype)
+    st_like = types.SimpleNamespace(
+        mu=mu,
+        prev_lams=jnp.zeros((N + 1, ndx), dtype),
+        prev_vs=jnp.zeros((N, nc), dtype),
+        prev_vs_term=jnp.zeros((nct,), dtype),
+    )
+
+    def phase_eval(dvi):
+        x0i, xs, us = iterates(dvi)
+        data = problem_mod.evaluate(
+            replace(problem, x0=x0i), xs, us
+        )
+        return data.cost + data.cstr_vals.sum() + data.dyn_res.sum()
+
+    def phase_derivs(dvi):
+        x0i, xs, us = iterates(dvi)
+        data = problem_mod.compute_derivatives(
+            replace(problem, x0=x0i), xs, us
+        )
+        return data.Lx.sum() + data.A.sum() + data.cstr_Jx.sum()
+
+    def make_lq(dvi):
+        x0i, xs, us = iterates(dvi)
+        prob_i = replace(problem, x0=x0i)
+        data = problem_mod.compute_derivatives(prob_i, xs, us)
+        m = P._compute_multipliers(
+            prob_i, cfg, data, st_like,
+            st_like.prev_lams, st_like.prev_vs, st_like.prev_vs_term,
+        )
+        Lxs, Lus = P._lagrangian_grads(
+            prob_i, cfg, data, st_like.prev_lams, st_like.prev_vs,
+            st_like.prev_vs_term,
+        )
+        return prob_i, data, m, Lxs, Lus
+
+    def assemble(dvi):
+        prob_i, data, m, Lxs, Lus = make_lq(dvi)
+        return P._assemble_lq(
+            prob_i, cfg, data, m, Lxs, Lus, jnp.asarray(1e-9, dtype), mu
+        )
+
+    def phase_assemble(dvi):
+        lq = assemble(dvi)
+        return lq.knots.Q.sum() + lq.knots.q.sum() + lq.knots.C.sum()
+
+    # LQ problems assembled once outside the timed region
+    lqs = jax.jit(jax.vmap(assemble))(d0)
+    jax.block_until_ready(lqs)
+
+    def phase_lq(lq):
+        f = riccati.backward(lq, cfg.dyn_al_scale * mu, mu, True)
+        xs_, us_, vs_, lams_ = riccati.forward(f)
+        return xs_.sum() + us_.sum() + vs_.sum() + lams_.sum()
+
+    def phase_full(dvi):
+        res = solvers.solve(
+            replace(problem, x0=x0.at[model.nq:].add(dvi)), cfg
+        )
+        return res.us.sum() + res.prim_infeas
+
+    def timed(fn, arg, perturb):
+        g = jax.jit(lambda a: jax.vmap(fn)(a).sum())
+        float(g(arg))  # compile + warm
+        ts = []
+        for i in range(1, 4):
+            t0 = time.perf_counter()
+            float(g(perturb(arg, i)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    pert_d = lambda a, i: a + jnp.float32(i * 1e-6)  # noqa: E731
+    pert_lq = lambda a, i: replace(  # noqa: E731
+        a, knots=replace(a.knots, q=a.knots.q + jnp.float32(i * 1e-6))
+    )
+
+    phases = {
+        "evaluate_ms": timed(phase_eval, d0, pert_d),
+        "derivatives_ms": timed(phase_derivs, d0, pert_d),
+        "assemble_ms": timed(phase_assemble, d0, pert_d),
+        "lq_solve_ms": timed(phase_lq, lqs, pert_lq),
+        "full_solve_ms": timed(phase_full, d0, pert_d),
+    }
+    # assemble includes a derivatives pass (XLA may CSE differently inside
+    # the full solve); report the increment too
+    phases["assemble_minus_derivs_ms"] = (
+        phases["assemble_ms"] - phases["derivatives_ms"]
+    )
+    out = {
+        "metric": "talos_walk_phase_profile",
+        "unit": "ms/batch-call",
+        "batch": batch,
+        "nsteps": N,
+        "ndx": ndx,
+        **{k: round(v * 1e3, 2) for k, v in phases.items()},
+    }
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if "--profile" in sys.argv:
+        sys.argv.remove("--profile")
+        profile(int(sys.argv[1]) if len(sys.argv) > 1 else 16)
+    else:
+        main()

@@ -154,3 +154,24 @@ def test_get_work_balanced():
     assert starts == [0, 4, 7] and lens == [4, 3, 3]
     starts, lens = parallel.get_work(12, 4)
     assert starts == [0, 3, 6, 9] and lens == [3, 3, 3, 3]
+
+
+@pytest.mark.parametrize("legs", [2, 4, 8])
+def test_parallel_medium_dims_convex(legs):
+    """Medium-dim (nx=36 — the reference gar bench shape,
+    bench/gar-riccati.cpp:18) leg solve on JOINTLY convex stage costs (the
+    pivot-free kernel's operating domain, see parallel.py module docstring
+    and gar.random_convex_problem): matches the serial sweep. Regression
+    for the round-3 finding that indefinite random_problem draws can NaN
+    a leg sweep at these dims."""
+    prob = gar.random_convex_problem(
+        jax.random.PRNGKey(17), 23, 36, 12, 2, dtype=jnp.float64
+    )
+    xs_s, us_s, vs_s, lams_s = gar.solve(prob, MUDYN, MUEQ, assume_explicit=True)
+    xs_p, us_p, vs_p, lams_p = parallel.solve(
+        prob, MUDYN, MUEQ, legs=legs, assume_explicit=True
+    )
+    assert jnp.allclose(xs_p, xs_s, atol=1e-8)
+    assert jnp.allclose(us_p, us_s, atol=1e-8)
+    assert jnp.allclose(vs_p, vs_s, atol=1e-8)
+    assert jnp.allclose(lams_p, lams_s, atol=1e-7)

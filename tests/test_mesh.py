@@ -49,6 +49,36 @@ def test_hybrid_mesh_two_level():
     assert jnp.allclose(out, ref, atol=1e-10)
 
 
+def test_time_sharded_parallel_riccati_medium_dims():
+    """Parallel-in-time leg solve with the LEG AXIS sharded over the mesh at
+    medium dims (nx=36, nu=12 — the reference gar bench shape,
+    bench/gar-riccati.cpp:18), where the condensed-system collectives carry
+    nx*nx blocks: result matches the serial sweep (VERDICT r2 item 9)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import numpy as np
+
+    from aligator_tpu.gar import parallel as gar_parallel
+    from aligator_tpu.gar import riccati
+
+    N, nx, nu = 31, 36, 12
+    # jointly convex stage costs — the parallel kernel's operating domain
+    # (what ProxDDP emits; see gar.random_convex_problem docstring)
+    prob = gar.random_convex_problem(
+        jax.random.PRNGKey(5), N, nx, nu, 0, dtype=jnp.float64
+    )
+    mesh = Mesh(np.array(jax.devices()), axis_names=("time",))
+    tsh = NamedSharding(mesh, P("time"))
+    xs, us, vs, lams = jax.jit(
+        lambda p: gar_parallel.solve(
+            p, 1e-3, 1e-3, legs=8, assume_explicit=True, time_sharding=tsh
+        )
+    )(prob)
+    xr, ur, vr, lr = riccati.solve(prob, 1e-3, 1e-3, True)
+    assert jnp.allclose(xs, xr, atol=1e-8)
+    assert jnp.allclose(us, ur, atol=1e-8)
+    assert jnp.allclose(lams, lr, atol=1e-8)
+
+
 def test_proxddp_sharded_solve():
     """End-to-end ProxDDP under the mesh: sharded batch equals local."""
     from examples.lqr import make_lqr_problem
