@@ -97,14 +97,29 @@ def _reduced_kkt_solve(Rhat, D, mueq, rhs_u, rhs_c):
     return u, nu
 
 
+def _reduced_kkt_solve_joint(Rhat, D, mueq, rhs_u_vec, rhs_c_vec,
+                             rhs_u_mat, rhs_c_mat):
+    """Feedforward + feedback reduced-KKT solves against ONE multi-RHS
+    triangular sweep — the (nu,) and (nu, nx[+nth]) right-hand sides share
+    one factorization and one traversal (reference solves them separately
+    through one BunchKaufman object, riccati-kernel.hxx:166-229). Measured
+    perf-neutral on v5e at nx=36 (see README medium-dim roofline); kept
+    for the smaller traced graph. Returns (u_vec, nu_vec, U_mat, NU_mat)."""
+    W = Rhat + (D.T @ D) / mueq
+    Bu = jnp.concatenate([rhs_u_vec[..., None], rhs_u_mat], axis=-1)
+    Bc = jnp.concatenate([rhs_c_vec[..., None], rhs_c_mat], axis=-1)
+    U = _chol_solve(_sym(W), Bu + (D.T @ Bc) / mueq)
+    NU = (D @ U - Bc) / mueq
+    return U[..., 0], NU[..., 0], U[..., 1:], NU[..., 1:]
+
+
 def _terminal_solve(kn, t, mueq, nth):
     """Terminal-stage factor (reference terminalSolve, riccati-kernel.hxx:89)."""
     Q, S, R = kn.Q[t], kn.S[t], kn.R[t]
     q, r = kn.q[t], kn.r[t]
     C, D, d = kn.C[t], kn.D[t], kn.d[t]
 
-    kff, zff = _reduced_kkt_solve(R, D, mueq, -r, -d)
-    K, Z = _reduced_kkt_solve(R, D, mueq, -S.T, -C)
+    kff, zff, K, Z = _reduced_kkt_solve_joint(R, D, mueq, -r, -d, -S.T, -C)
 
     P = _sym(Q + C.T @ Z + S @ K)
     p = q + C.T @ zff + S @ kff
@@ -154,8 +169,17 @@ def _stage_kernel(knot, carry, mudyn, mueq, assume_explicit, nth,
 
     schur = eye + mudyn * Ptilde
     schur_solve = _spd_solver(_sym_pd(schur))
-    Vxx = _sym(schur_solve(Ptilde))
-    vx = schur_solve(ptilde + Ptilde @ f)
+    # ONE multi-RHS solve for [Vxx | vx] (and one per reduced KKT below):
+    # merging the matrix and vector right-hand sides halves the number of
+    # triangular-solve traversals per stage. Measured perf-NEUTRAL on v5e
+    # at nx=36 (255 vs 256 ms/batch — XLA's per-op overhead is not the
+    # marginal cost there; see README medium-dim roofline). Kept: identical
+    # numerics, smaller traced graph.
+    sol = schur_solve(
+        jnp.concatenate([Ptilde, (ptilde + Ptilde @ f)[..., None]], axis=-1)
+    )
+    Vxx = _sym(sol[..., :nx])
+    vx = sol[..., nx]
 
     if bf16_prop:
         # ablation knob (round-3 VERDICT item 3b): run the value-propagation
@@ -179,8 +203,9 @@ def _stage_kernel(knot, carry, mudyn, mueq, assume_explicit, nth,
     qhat = q + A.T @ vx
     rhat = r + B.T @ vx
 
-    kff, zff = _reduced_kkt_solve(Rhat, D, mueq, -rhat, -d)
-    K, Z = _reduced_kkt_solve(Rhat, D, mueq, -Shat.T, -C)
+    kff, zff, K, Z = _reduced_kkt_solve_joint(
+        Rhat, D, mueq, -rhat, -d, -Shat.T, -C
+    )
 
     lff = vx + Vxx @ (B @ kff)
     L = Vxx @ A + Vxx @ (B @ K)

@@ -221,6 +221,49 @@ def tri_solve_upper_t(L, B):
     return jnp.concatenate([X1, X2], axis=-1 if vec else -2)
 
 
+def spd_block_inv(M, newton_iters: int = 1):
+    """Explicit inverse of a WELL-CONDITIONED SPD matrix via recursive
+    2x2-block Schur complements — every heavy op is a batched GEMM (no
+    triangular-solve pyramids), plus ``newton_iters`` Newton refinement
+    steps at the top level (X ← X(2I − MX), each squares the residual).
+
+    Use ONLY where conditioning is a priori bounded. The proximal Schur
+    matrix ``I + μ_dyn·P̃`` qualifies: eigs lie in [1, 1+μλmax(P)], so its
+    condition number IMPROVES as μ shrinks — the opposite of the 1/μ-scaled
+    reduced-KKT ``R̂ + D'D/μ_eq`` blocks, which must keep Cholesky (the
+    CLAUDE.md adjugate prohibition is about those). Measured motivation:
+    at nx=36 the recursive-Cholesky solve is ~53% of the Riccati stage
+    time on v5e (deep recursion of tiny ops); this inverse is GEMM-bound.
+    """
+    n = M.shape[-1]
+
+    def block_inv(M):
+        n = M.shape[-1]
+        if n <= _CLOSED_FORM_MAX:
+            # raw closed form; refinement happens once at the top level
+            return _inv_closed(M)
+        n1 = n // 2
+        A = M[..., :n1, :n1]
+        Bb = M[..., n1:, :n1]
+        C = M[..., n1:, n1:]
+        Ai = block_inv(A)
+        BAi = Bb @ Ai
+        S = C - BAi @ jnp.swapaxes(Bb, -1, -2)
+        T = block_inv(0.5 * (S + jnp.swapaxes(S, -1, -2)))
+        X21 = -(T @ BAi)
+        X11 = Ai - jnp.swapaxes(BAi, -1, -2) @ X21
+        top = jnp.concatenate([X11, jnp.swapaxes(X21, -1, -2)], axis=-1)
+        bot = jnp.concatenate(
+            [X21, T], axis=-1
+        )
+        return jnp.concatenate([top, bot], axis=-2)
+
+    X = block_inv(M)
+    for _ in range(newton_iters):
+        X = _refine(M, X)
+    return 0.5 * (X + jnp.swapaxes(X, -1, -2))
+
+
 def solve_spd(M, B):
     """Solve with M symmetric positive definite (unrolled Cholesky for tiny
     M, recursive block Cholesky up to n=64 — LAPACK-grade accuracy, no
