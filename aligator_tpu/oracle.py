@@ -1,5 +1,11 @@
 """Plain-NumPy fp64 reference ProxDDP — the full-solver parity oracle.
 
+NOT PRODUCT SURFACE: this module is a deliberate test/parity instrument
+(it backs the iterate-for-iterate parity tests, the randomized parity
+fuzz, and the convergence-tail ablation). It ships inside the package
+only so those tests and offline ablation scripts can import it without
+path games; nothing in the solver stack depends on it.
+
 An *independent* re-implementation of the complete serial ProxDDP loop,
 mirroring the reference C++ (``solver-proxddp.hxx:458-741``): multiplier
 estimates (``computeMultipliers``, :458:210), PDAL merit
