@@ -242,7 +242,12 @@ def random_convex_problem(
     Q = joint[:, :nx, :nx]
     S = joint[:, :nx, nx:]
     R = joint[:, nx:, nx:] + 0.1 * jnp.eye(nu, dtype=dtype)
-    # keep the terminal padding from random_problem
+    # keep the terminal padding from random_problem: the terminal knot has
+    # no control, so its S/R Wishart draw is discarded (S=0, R=I padding)
+    # and the terminal Q is inherited from random_problem's nx-dim Wishart
+    # rather than the (nx+nu)-dim joint draw above — a different (but still
+    # PSD) distribution than the stage Qs, by design; only joint stage-block
+    # convexity matters for the parallel-leg domain guarantee.
     Q = Q.at[N].set(kn.Q[N])
     S = S.at[N].set(0.0)
     R = R.at[N].set(jnp.eye(nu, dtype=dtype))

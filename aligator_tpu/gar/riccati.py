@@ -186,7 +186,13 @@ def _stage_kernel(knot, carry, mudyn, mueq, assume_explicit, nth,
         # GEMMs A'V, B'V, A'VA, B'VB, A'VB in bf16 inputs with fp32
         # accumulation, keeping the KKT core (Schur solve, reduced KKT,
         # gains) in fp32 per the _precision.py policy. Halves the HBM bytes
-        # of the widest per-stage operands at medium dims.
+        # of the widest per-stage operands at medium dims. Note the second
+        # GEMM row deliberately re-rounds the fp32 accumulator AtV/BtV back
+        # to bf16 (AtV.astype(bf)) before contracting with A/B — i.e. the
+        # knob measures the full "bf16 operand traffic" regime with TWO
+        # rounding steps per chained product, not a single-rounding
+        # mixed-precision dot; that is the off-by-default ablation as
+        # measured (round 3: +5% speed, 160x dual-residual degradation).
         bf = jnp.bfloat16
         Ab, Bb, Vb = A.astype(bf), B.astype(bf), Vxx.astype(bf)
         AtV = jnp.matmul(Ab.T, Vb, preferred_element_type=dt)

@@ -126,11 +126,12 @@ class ProxDDPConfig:
     linear_solver: str = "serial"
     # XLA-scan Riccati tuning (medium dims, nx > 8, where the fused Pallas
     # kernel doesn't apply): unroll k stages per scan step (amortizes
-    # per-step launch/HBM round-trips), and optionally run the value-
-    # propagation GEMMs (A'V, B'V, A'VA, ...) in bf16 inputs with fp32
-    # accumulation while the KKT core stays fp32 (_precision.py policy).
+    # per-step launch/HBM round-trips). The bf16 value-propagation ablation
+    # lives on gar.riccati.backward/sweep (bf16_prop=) as a bench-only knob:
+    # it was measured +5% speed / 160x worse dual residual (round 3) and the
+    # precision policy keeps KKT-adjacent algebra in fp32, so it is
+    # deliberately NOT exposed on the production solver config.
     lq_scan_unroll: int = 1
-    lq_bf16_prop: bool = False
     # runtime μ floor for 'associative': when min(mudyn, mueq) drops below
     # this, the Newton step falls back to the serial sweep for that solve
     # (lax.cond) instead of silently entering the scan's divergence region.
@@ -778,7 +779,7 @@ def solve(
             # Pallas TPU kernel when eligible (gar/pallas_riccati.py)
             dxs, dus_p, dvs_p, dlams, gains = riccati.solve_and_gains(
                 lq, mudyn, st.mu, assume_explicit,
-                unroll=cfg.lq_scan_unroll, bf16_prop=cfg.lq_bf16_prop,
+                unroll=cfg.lq_scan_unroll,
             )
             factors = riccati.RiccatiFactors(
                 **gains,
@@ -791,7 +792,7 @@ def solve(
         else:
             factors = riccati.backward(
                 lq, mudyn, st.mu, assume_explicit,
-                unroll=cfg.lq_scan_unroll, bf16_prop=cfg.lq_bf16_prop,
+                unroll=cfg.lq_scan_unroll,
             )
             dxs, dus_p, dvs_p, dlams = riccati.forward(
                 factors, unroll=cfg.lq_scan_unroll

@@ -141,7 +141,9 @@ def main_time():
         }))
 
         base = None
-        for n in (1, 2, len(devices)):
+        # dedupe device counts: on 1- or 2-device meshes (1, 2, len) overlaps
+        # and would emit duplicate JSON rows (round-3 ADVICE)
+        for n in sorted({1, 2, len(devices)}):
             if n > len(devices):
                 continue
             mesh = Mesh(np.array(devices[:n]), axis_names=("time",))
