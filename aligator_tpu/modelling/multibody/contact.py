@@ -80,7 +80,7 @@ def contact_drift(model, q, v, frame_id):
 
 
 @highest_precision
-def constrained_fwd_dynamics(
+def _cfd_internals(
     model,
     q,
     v,
@@ -93,13 +93,10 @@ def constrained_fwd_dynamics(
     p_refs=None,
     contact_dims=None,
 ):
-    """Forward dynamics under active 3D/6D contacts.
-
-    ``contact_dims``: static tuple of 3 or 6 per contact (default all-3).
-    Returns ``(a, forces)`` with forces the flat (Σdims,) contact-force
-    vector in world-aligned coordinates (zero entries for inactive
-    contacts); slice per contact with ``contact_offsets``.
-    """
+    """Primal constrained-dynamics solve returning the internals needed by
+    the analytic derivative pass (``derivatives.py``): the factorized mass
+    matrix and Delassus solvers, the masked contact Jacobian, and the
+    kinematics pass."""
     dtype = q.dtype
     nv = model.nv
     if contact_dims is None:
@@ -160,10 +157,76 @@ def constrained_fwd_dynamics(
     )
     G = G0 + mu_eff * jnp.eye(Jc.shape[0], dtype=dtype)
     rhs = Jc @ a_free + gamma
-    lam = smallmat.solve_spd(G, rhs)
+    solve_G = smallmat.spd_solver(G)
+    lam = solve_G(rhs)
 
     a = a_free - MinvJt @ lam
-    return a, -lam
+    return {
+        "a": a,
+        "lam": lam,
+        "kin": kin,
+        "Jc": Jc,
+        "act": act,
+        "solve_M": solve_M,
+        "solve_G": solve_G,
+        "MinvJt": MinvJt,
+        "mu_eff": mu_eff,
+    }
+
+
+def constrained_fwd_dynamics(
+    model,
+    q,
+    v,
+    tau,
+    contact_frames,
+    active,
+    prox_mu=1e-8,
+    kp=0.0,
+    kd=0.0,
+    p_refs=None,
+    contact_dims=None,
+):
+    """Forward dynamics under active 3D/6D contacts.
+
+    ``contact_dims``: static tuple of 3 or 6 per contact (default all-3).
+    Returns ``(a, forces)`` with forces the flat (Σdims,) contact-force
+    vector in world-aligned coordinates (zero entries for inactive
+    contacts); slice per contact with ``contact_offsets``.
+
+    Derivatives are analytic by default (``derivatives.py`` custom-JVP:
+    world-frame einsum RNEA derivatives + KKT-factorization reuse,
+    replacing the reference's ``computeConstraintDynamicsDerivatives``
+    role, ``multibody-constraint-fwd.hxx:60``); autodiff falls back
+    automatically when model parameters / activity flags carry tangents or
+    when ``prox_mu``/``kp``/``kd`` are traced values.
+    """
+    if contact_dims is not None:
+        contact_dims = tuple(contact_dims)
+    static_ok = all(
+        isinstance(val, (int, float)) for val in (prox_mu, kp, kd)
+    )
+    if static_ok:
+        from .derivatives import cfd_custom
+
+        fn = cfd_custom(
+            tuple(contact_frames),
+            contact_dims if contact_dims is not None
+            else (3,) * len(contact_frames),
+            float(prox_mu),
+            float(kp),
+            float(kd),
+            p_refs is not None,
+        )
+        if p_refs is None:
+            return fn(model, q, v, tau, active)
+        return fn(model, q, v, tau, active, p_refs)
+    out = _cfd_internals(
+        model, q, v, tau, contact_frames, active,
+        prox_mu=prox_mu, kp=kp, kd=kd, p_refs=p_refs,
+        contact_dims=contact_dims,
+    )
+    return out["a"], -out["lam"]
 
 
 def contact_offsets(contact_dims):

@@ -149,6 +149,24 @@ class RobotModel:
         return self.configuration_space().neutral()
 
 
+def with_frame(model: "RobotModel", name: str, parent: int,
+               placement_p=None, placement_q=None) -> "RobotModel":
+    """Return a copy of ``model`` with one additional operational frame
+    (e.g. to alias a parsed MJCF body frame under a task-level name)."""
+    from ..._pytree import replace
+
+    ident_q = jnp.array([0.0, 0.0, 0.0, 1.0])
+    p = jnp.zeros(3) if placement_p is None else jnp.asarray(placement_p, float)
+    qq = ident_q if placement_q is None else jnp.asarray(placement_q, float)
+    return replace(
+        model,
+        fplac_p=jnp.concatenate([model.fplac_p, p[None]], axis=0),
+        fplac_q=jnp.concatenate([model.fplac_q, qq[None]], axis=0),
+        frame_parents=model.frame_parents + (int(parent),),
+        frame_names=model.frame_names + (str(name),),
+    )
+
+
 def make_model(joints, frames=(), gravity=(0.0, 0.0, -9.81), armature=None):
     """Build a RobotModel from joint descriptions.
 
@@ -540,7 +558,23 @@ def aba(model: RobotModel, q, v, tau, ext_forces: Optional[jax.Array] = None):
     the MXU, while a serial O(n) articulated-body sweep would be a chain of
     ~nj tiny dependent ops — latency-bound on TPU. M and b share one
     kinematics pass.
+
+    Derivatives are analytic (``derivatives.py`` custom JVP — the
+    ``computeABADerivatives`` role, reference
+    ``multibody-free-fwd.hxx:66``): ∂a/∂θ = −M⁻¹ ∂RNEA/∂θ|_{a*} with one
+    reused Cholesky; model-parameter tangents fall back to autodiff.
     """
+    from .derivatives import aba_custom
+
+    fn = aba_custom(ext_forces is not None)
+    if ext_forces is None:
+        return fn(model, q, v, tau)
+    return fn(model, q, v, tau, ext_forces)
+
+
+def _aba_impl(model: RobotModel, q, v, tau,
+              ext_forces: Optional[jax.Array] = None):
+    """Raw (autodiff-differentiable) forward-dynamics implementation."""
     dtype = q.dtype
     kin = kinematics(model, q, v)
     kin["vdof"] = v

@@ -1,0 +1,169 @@
+"""Analytic RBD derivative validation against the autodiff oracle.
+
+Round-4 VERDICT item 1: the analytic world-frame einsum derivatives
+(``modelling/multibody/derivatives.py`` — the
+``computeRNEADerivatives`` / ``computeABADerivatives`` /
+``computeConstraintDynamicsDerivatives`` roles, reference
+``multibody-free-fwd.hxx:66`` / ``multibody-constraint-fwd.hxx:60``)
+must match ``jacfwd`` through the raw implementations in fp64, on
+fixed-base, free-flyer, 3D- and 6D-contact models, and through both the
+custom-JVP forward path and reverse mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aligator_tpu.modelling.multibody import contact as ct
+from aligator_tpu.modelling.multibody import derivatives as drv
+from aligator_tpu.modelling.multibody import model as rbd
+from aligator_tpu.modelling.multibody.humanoid import make_humanoid
+from aligator_tpu.modelling.multibody.quadruped import make_quadruped
+from aligator_tpu.modelling.multibody.robots import make_ur5
+
+
+def _rand_state(model, seed=0):
+    key = jax.random.PRNGKey(seed)
+    cspace = model.configuration_space()
+    q = cspace.rand(key)
+    k1, k2 = jax.random.split(jax.random.fold_in(key, 1))
+    v = jax.random.normal(k1, (model.nv,))
+    tau = jax.random.normal(k2, (model.nv,))
+    return cspace, q, v, tau
+
+
+@pytest.mark.parametrize("use_fext", [False, True])
+def test_rnea_derivatives_ur5(use_fext):
+    model = make_ur5()
+    cspace, q, v, a = _rand_state(model)
+    fext = (
+        0.3 * jax.random.normal(jax.random.PRNGKey(9), (model.njoints, 6))
+        if use_fext
+        else None
+    )
+    dtau_dq, dtau_dv = drv.rnea_derivatives(model, q, v, a, fext=fext)
+    z = jnp.zeros((model.nv,))
+    dq_ad = jax.jacfwd(
+        lambda d: rbd.rnea(model, cspace.integrate(q, d), v, a, fext)
+    )(z)
+    dv_ad = jax.jacfwd(lambda d: rbd.rnea(model, q, v + d, a, fext))(z)
+    s = max(1.0, float(jnp.abs(dq_ad).max()))
+    assert float(jnp.abs(dtau_dq - dq_ad).max()) < 1e-9 * s
+    assert float(jnp.abs(dtau_dv - dv_ad).max()) < 1e-9 * s
+
+
+def test_rnea_and_aba_derivatives_freeflyer():
+    model = make_humanoid()
+    cspace, q, v, tau = _rand_state(model, seed=1)
+    a = jax.random.normal(jax.random.PRNGKey(4), (model.nv,))
+    dtau_dq, dtau_dv = drv.rnea_derivatives(model, q, v, a)
+    z = jnp.zeros((model.nv,))
+    dq_ad = jax.jacfwd(
+        lambda d: rbd.rnea(model, cspace.integrate(q, d), v, a)
+    )(z)
+    dv_ad = jax.jacfwd(lambda d: rbd.rnea(model, q, v + d, a))(z)
+    s = max(1.0, float(jnp.abs(dq_ad).max()))
+    assert float(jnp.abs(dtau_dq - dq_ad).max()) < 1e-9 * s
+    assert float(jnp.abs(dtau_dv - dv_ad).max()) < 1e-9 * s
+
+    # aba: analytic vs autodiff of the raw implementation, and the public
+    # custom-JVP path must agree with both
+    a0, da_dq, da_dv, solve_M = drv.aba_derivatives(model, q, v, tau)
+    da_dq_ad = jax.jacfwd(
+        lambda d: rbd._aba_impl(model, cspace.integrate(q, d), v, tau)
+    )(z)
+    da_dq_pub = jax.jacfwd(
+        lambda d: rbd.aba(model, cspace.integrate(q, d), v, tau)
+    )(z)
+    s = max(1.0, float(jnp.abs(da_dq_ad).max()))
+    assert float(jnp.abs(da_dq - da_dq_ad).max()) < 1e-8 * s
+    assert float(jnp.abs(da_dq_pub - da_dq_ad).max()) < 1e-8 * s
+    assert float(jnp.abs(a0 - rbd._aba_impl(model, q, v, tau)).max()) == 0.0
+
+
+@pytest.mark.parametrize(
+    "robot,dims,kp,kd,prefs",
+    [
+        pytest.param("humanoid", (6, 6), 0.0, 1e-2, False,
+                     marks=pytest.mark.slow),
+        pytest.param("humanoid", (6, 6), 10.0, 0.5, True,
+                     marks=pytest.mark.slow),
+        ("quadruped", (3, 3, 3, 3), 0.0, 1e-2, False),
+    ],
+)
+def test_constrained_fd_derivatives(robot, dims, kp, kd, prefs):
+    if robot == "humanoid":
+        model = make_humanoid()
+        frames = (model.frame_id("left_sole"), model.frame_id("right_sole"))
+    else:
+        model = make_quadruped()
+        frames = tuple(model.frame_id(f"foot{i}") for i in range(4))
+    cspace, q, v, tau = _rand_state(model, seed=2)
+    # one inactive contact exercises the act-masked rows
+    active = jnp.ones((len(frames),)).at[0].set(0.0)
+    p_refs = (
+        0.1 * jax.random.normal(jax.random.PRNGKey(3), (len(frames), 3))
+        if prefs
+        else None
+    )
+    kw = dict(kp=kp, kd=kd, p_refs=p_refs, contact_dims=dims)
+
+    def raw(qq, vv, tt):
+        out = ct._cfd_internals(model, qq, vv, tt, frames, active, **kw)
+        return out["a"], -out["lam"]
+
+    (a, f, da_dq, da_dv, da_dt, df_dq, df_dv, df_dt) = (
+        drv.constrained_fd_derivatives(model, q, v, tau, frames, active, **kw)
+    )
+    z = jnp.zeros((model.nv,))
+    Ja, Jf = jax.jacfwd(lambda d: raw(cspace.integrate(q, d), v, tau))(z)
+    s = max(1.0, float(jnp.abs(Ja).max()), float(jnp.abs(Jf).max()))
+    assert float(jnp.abs(da_dq - Ja).max()) < 1e-8 * s
+    assert float(jnp.abs(df_dq - Jf).max()) < 1e-8 * s
+    Ja, Jf = jax.jacfwd(lambda d: raw(q, v + d, tau))(z)
+    assert float(jnp.abs(da_dv - Ja).max()) < 1e-8 * s
+    assert float(jnp.abs(df_dv - Jf).max()) < 1e-8 * s
+    Ja, Jf = jax.jacfwd(lambda d: raw(q, v, tau + d))(z)
+    assert float(jnp.abs(da_dt - Ja).max()) < 1e-8 * s
+    assert float(jnp.abs(df_dt - Jf).max()) < 1e-8 * s
+
+    # the public function's custom-JVP must reproduce the analytic matrices
+    # in forward AND reverse mode
+    def pub(d):
+        return ct.constrained_fwd_dynamics(
+            model, cspace.integrate(q, d), v, tau, frames, active, **kw
+        )
+
+    Ja_pub, _ = jax.jacfwd(pub)(z)
+    assert float(jnp.abs(Ja_pub - da_dq).max()) < 1e-8 * s
+    g_pub = jax.grad(lambda d: pub(d)[0].sum())(z)
+    g_raw = jax.grad(
+        lambda d: raw(cspace.integrate(q, d), v, tau)[0].sum()
+    )(z)
+    assert float(jnp.abs(g_pub - g_raw).max()) < 1e-8 * s
+
+
+def test_model_param_tangent_fallback():
+    """Differentiating w.r.t. model parameters (mass) must fall back to
+    exact autodiff rather than silently dropping the tangent."""
+    model = make_ur5()
+    cspace, q, v, tau = _rand_state(model, seed=5)
+
+    def a_of_mass_pub(dm):
+        from aligator_tpu._pytree import replace
+
+        m2 = replace(model, mass=model.mass + dm)
+        return rbd.aba(m2, q, v, tau)
+
+    def a_of_mass_raw(dm):
+        from aligator_tpu._pytree import replace
+
+        m2 = replace(model, mass=model.mass + dm)
+        return rbd._aba_impl(m2, q, v, tau)
+
+    z = jnp.zeros_like(model.mass)
+    Jp = jax.jacfwd(a_of_mass_pub)(z)
+    Jr = jax.jacfwd(a_of_mass_raw)(z)
+    s = max(1.0, float(jnp.abs(Jr).max()))
+    assert float(jnp.abs(Jp - Jr).max()) < 1e-10 * s
