@@ -310,6 +310,43 @@ def make_panda() -> RobotModel:
     return make_model(joints, frames)
 
 
+# Real vendored Panda asset (reference tree: the MJCF the reference's
+# manipulator examples load via pin.RobotWrapper.BuildFromMJCF,
+# ``examples/panda_mujoco_test_se3_collision.py:44``). Parsed at runtime —
+# not copied into this repo.
+PANDA_MJCF_PATH = "/root/reference/franka_emika_panda/panda_nohand.xml"
+
+
+def make_panda_real(path: str = None):
+    """The *real* Franka Emika Panda (7-DOF, no hand), ingested from the
+    vendored MJCF through :mod:`.mjcf` — real kinematic frames, identified
+    masses/CoMs/full rotational inertias and per-joint armature, validated
+    against MuJoCo in ``tests/test_panda_ingestion.py`` (FK ~1e-15,
+    mass matrix/RNEA ~1e-8). Frames: link1..7, ``attachment`` (flange,
+    aliased as ``ee``) and ``elbow`` (= link4 body frame, the alias used by
+    the reach example's collision pairs).
+
+    Returns ``(model, info)``; raises ``FileNotFoundError`` when the asset
+    is unavailable (callers fall back to :func:`make_panda`, the nominal
+    approximation)."""
+    import os
+
+    from .mjcf import load_mjcf
+    from .model import with_frame
+
+    p = PANDA_MJCF_PATH if path is None else path
+    if not os.path.exists(p):
+        raise FileNotFoundError(p)
+    model, info = load_mjcf(p)
+    model = with_frame(
+        model, "ee", model.frame_parents[model.frame_id("attachment")],
+        placement_p=model.fplac_p[model.frame_id("attachment")],
+        placement_q=model.fplac_q[model.frame_id("attachment")],
+    )
+    model = with_frame(model, "elbow", 3)
+    return model, info
+
+
 # numpy (not jnp) so importing the module never initializes a jax backend
 PANDA_Q_HOME = np.array([0.0, -0.785398, 0.0, -2.356194, 0.0, 1.570796, 0.785398])
 PANDA_EFFORT_LIMIT = np.array([87.0, 87.0, 87.0, 87.0, 12.0, 12.0, 12.0])

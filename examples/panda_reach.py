@@ -22,6 +22,7 @@ from aligator_tpu.modelling.multibody.robots import (
     PANDA_EFFORT_LIMIT,
     PANDA_Q_HOME,
     make_panda,
+    make_panda_real,
 )
 
 
@@ -30,11 +31,23 @@ def create_panda_problem(
     timestep=0.02,
     with_collision=True,
     dtype=jnp.float64,
+    real_model=True,
 ):
     """SE(3) reach to a pose across a vertical capsule obstacle (the
     reference constrains collision pairs found in the MuJoCo scene; here the
-    obstacle is a post between the home pose and the target)."""
-    model = make_panda()
+    obstacle is a post between the home pose and the target).
+
+    ``real_model=True`` (default) runs on the *real* vendored Panda MJCF
+    (``panda_nohand.xml``, the exact asset the reference example loads —
+    real inertials + joint armature, MuJoCo-validated), falling back to the
+    nominal :func:`make_panda` approximation when the asset is absent."""
+    if real_model:
+        try:
+            model, _ = make_panda_real()
+        except FileNotFoundError:
+            model = make_panda()
+    else:
+        model = make_panda()
     nv = model.nv
     space = model.phase_space()
     nu = nv
