@@ -27,6 +27,7 @@ from .riccati import (
     forward,
     solve,
     solve_and_gains,
+    solve_guarded,
     solve_refined,
 )
 
@@ -45,6 +46,7 @@ __all__ = [
     "backward",
     "forward",
     "solve",
+    "solve_guarded",
     "solve_and_gains",
     "associative",
     "solve_refined",
