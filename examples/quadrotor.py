@@ -1,6 +1,10 @@
-"""Quadrotor hover/goto with obstacle keep-out (counterpart of reference
+"""Quadrotor goto with obstacle avoidance (counterpart of reference
 ``examples/quadrotor_obstacles.py``): free-flyer rigid body with four rotor
-thrusts, cylindrical obstacle constraints as negative-orthant residuals."""
+thrusts, cylindrical column keep-outs (``Column`` residual role,
+``quadrotor_obstacles.py:51``), a floor half-space z >= 0
+(``create_halfspace_z`` role, ``quadrotor_obstacles.py:37``), control
+bounds, and an optional terminal equality on the goal position
+(``term_cstr`` role) — all as negative-orthant / equality constraints."""
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +55,8 @@ class CylinderKeepOut(StageFunction):
         return (self.radius**2 - jnp.sum(dxy * dxy, -1))[..., None]
 
 
-def create_quadrotor_problem(nsteps=60, timestep=0.033, dtype=jnp.float64):
+def create_quadrotor_problem(nsteps=60, timestep=0.033, dtype=jnp.float64,
+                             term_cstr=False):
     model, B = make_quadrotor()
     space = model.phase_space()
     nu = 4
@@ -71,8 +76,22 @@ def create_quadrotor_problem(nsteps=60, timestep=0.033, dtype=jnp.float64):
     )
     term_cost = core.QuadraticStateCost(x_tgt, 10.0 * w_x)
 
-    obstacle = (
-        CylinderKeepOut(center=jnp.array([0.75, 0.75], dtype), radius=jnp.asarray(0.3, dtype)),
+    # two columns between start and goal (reference places a cylinder grid
+    # and prunes infeasible starts; same machinery, fixed layout here)
+    obstacles = tuple(
+        (
+            CylinderKeepOut(center=jnp.asarray(c, dtype),
+                            radius=jnp.asarray(0.3, dtype)),
+            core.NegativeOrthant(),
+        )
+        for c in ([0.75, 0.75], [1.25, 0.25])
+    )
+    # floor half-space z >= 0: -z <= 0 as a linear state residual
+    # (reference create_halfspace_z, quadrotor_obstacles.py:37-48)
+    Az = jnp.zeros((1, space.ndx), dtype).at[0, 2].set(-1.0)
+    floor = (
+        core.LinearFunction(A=Az, B=jnp.zeros((1, nu), dtype),
+                            c=jnp.zeros((1,), dtype)),
         core.NegativeOrthant(),
     )
     bounds = (
@@ -82,9 +101,18 @@ def create_quadrotor_problem(nsteps=60, timestep=0.033, dtype=jnp.float64):
         ),
     )
 
-    stage = core.make_stage(rcost, dyn, space, nu, (obstacle, bounds))
+    stage = core.make_stage(rcost, dyn, space, nu, obstacles + (floor, bounds))
     x0 = space.neutral()
-    return core.make_problem(x0, stage, nsteps, term_cost)
+    term_constraints = ()
+    if term_cstr:
+        # terminal equality on the goal position (reference args.term_cstr:
+        # StateErrorResidual on the target, quadrotor_obstacles.py:176-180)
+        pos_err = core.FunctionSlice(
+            func=core.StateErrorResidual(target=x_tgt), indices=(0, 1, 2)
+        )
+        term_constraints = ((pos_err, core.EqualityConstraint()),)
+    return core.make_problem(x0, stage, nsteps, term_cost,
+                             term_constraints=term_constraints)
 
 
 if __name__ == "__main__":
@@ -92,14 +120,19 @@ if __name__ == "__main__":
     jax.config.update("jax_enable_x64", True)
     from aligator_tpu import solvers
 
-    problem = create_quadrotor_problem()
+    import sys
+
+    term_cstr = "--term_cstr" in sys.argv
+    problem = create_quadrotor_problem(term_cstr=term_cstr)
     cfg = solvers.ProxDDPConfig(
-        tol=1e-4, mu_init=1e-2, max_iters=150, rollout="nonlinear"
+        tol=1e-4, mu_init=1e-2, max_iters=200, rollout="nonlinear"
     )
     res = solvers.solve(problem, cfg)
     print("conv:", bool(res.conv), "iters:", int(res.num_iters))
     print("pN:", res.xs[-1][:3], "(target: [1.5, 1.5, 1.0])")
     xy = res.xs[:, :2]
-    d = jnp.linalg.norm(xy - jnp.array([0.75, 0.75]), axis=-1)
-    print("min dist to obstacle center:", float(d.min()), "(radius 0.3)")
+    for c in ((0.75, 0.75), (1.25, 0.25)):
+        d = jnp.linalg.norm(xy - jnp.array(c), axis=-1)
+        print(f"min dist to column {c}:", float(d.min()), "(radius 0.3)")
+    print("min z:", float(res.xs[:, 2].min()), "(floor z >= 0)")
     print("u range:", float(res.us.min()), float(res.us.max()))

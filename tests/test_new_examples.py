@@ -107,3 +107,29 @@ class TestExamples:
         derivs = core.compute_derivatives(problem, xs, us)
         for leaf in jax.tree_util.tree_leaves(derivs):
             assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+@pytest.mark.slow
+def test_quadrotor_obstacles():
+    """Quadrotor goto through two column keep-outs + floor half-space
+    (reference examples/quadrotor_obstacles.py role), with and without the
+    terminal position equality — round-4 VERDICT item 7."""
+    import jax.numpy as jnp
+
+    from aligator_tpu import solvers
+    from examples.quadrotor import create_quadrotor_problem
+
+    for term_cstr in (False, True):
+        problem = create_quadrotor_problem(nsteps=60, term_cstr=term_cstr)
+        cfg = solvers.ProxDDPConfig(
+            tol=1e-4, mu_init=1e-2, max_iters=200, rollout="nonlinear"
+        )
+        res = solvers.solve(problem, cfg)
+        assert bool(res.conv), (term_cstr, float(res.prim_infeas))
+        xy = res.xs[:, :2]
+        for c in ((0.75, 0.75), (1.25, 0.25)):
+            d = jnp.linalg.norm(xy - jnp.array(c), axis=-1)
+            assert float(d.min()) > 0.3 - 1e-3  # collision-free (to tol)
+        assert float(res.xs[:, 2].min()) > -1e-6  # above the floor
+        assert float(jnp.linalg.norm(res.xs[-1][:3]
+                                     - jnp.array([1.5, 1.5, 1.0]))) < 0.05
