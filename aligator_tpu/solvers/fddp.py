@@ -45,6 +45,8 @@ class _St:
     alpha_last: jax.Array
     d1_last: jax.Array
     history: jax.Array  # (max_iters, 6) or (0, 6)
+    hist_xs: jax.Array  # (max_iters, N+1, nx) or (0, ...)
+    hist_us: jax.Array  # (max_iters, N, nu) or (0, ...)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,6 +70,9 @@ class FDDPConfig:
     # logs per iteration like solver-proxddp.hxx:708-721):
     # per-iteration [prim, dual, cost, alpha, preg, d1] rows
     record_history: bool = False
+    # full xs/us iterate traces per iteration (HistoryCallback
+    # store_primal=true parity, matching ProxDDPConfig.record_history_trajs)
+    record_history_trajs: bool = False
     # columnar trace rows printed from inside jit via jax.debug.callback
     verbose: bool = False
     # host Python hook called with the per-iteration trace dict
@@ -87,6 +92,9 @@ class FDDPResults:
     kff: Optional[jax.Array] = None
     # (max_iters, 6) [prim, dual, cost, alpha, preg, d1] when record_history
     history: Optional[jax.Array] = None
+    # full iterate traces (record_history_trajs)
+    history_xs: Optional[jax.Array] = None
+    history_us: Optional[jax.Array] = None
 
 
 @highest_precision
@@ -224,6 +232,14 @@ def solve(
         history=jnp.zeros(
             (cfg.max_iters if cfg.record_history else 0, 6), dtype
         ),
+        hist_xs=jnp.zeros(
+            (cfg.max_iters if cfg.record_history_trajs else 0, N + 1)
+            + problem.x0.shape,
+            dtype,
+        ),
+        hist_us=jnp.zeros(
+            (cfg.max_iters if cfg.record_history_trajs else 0, N, nu), dtype
+        ),
     )
 
     def body(st: _St):
@@ -238,6 +254,12 @@ def solve(
                 [prim, dual, data.cost, st.alpha_last, st.preg, st.d1_last]
             )
             st = replace(st, history=st.history.at[st.iter].set(row))
+        if cfg.record_history_trajs:
+            st = replace(
+                st,
+                hist_xs=st.hist_xs.at[st.iter].set(st.xs),
+                hist_us=st.hist_us.at[st.iter].set(st.us),
+            )
         if cfg.verbose or cfg.callback is not None:
             # per-iteration trace from inside jit (reference logs each FDDP
             # iteration with the shared Logger, solver-fddp.hxx)
@@ -386,4 +408,6 @@ def solve(
         K=bw["K"],
         kff=bw["kff"],
         history=st.history if cfg.record_history else None,
+        history_xs=st.hist_xs if cfg.record_history_trajs else None,
+        history_us=st.hist_us if cfg.record_history_trajs else None,
     )

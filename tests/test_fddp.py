@@ -59,11 +59,19 @@ def test_fddp_parity_oracle_lqr():
     from aligator_tpu.oracle import NumpyFDDP
 
     problem = make_lqr(nsteps=25)
-    cfg = fddp.FDDPConfig(tol=1e-9, max_iters=30)
+    cfg = fddp.FDDPConfig(tol=1e-9, max_iters=30, record_history_trajs=True)
     res = fddp.solve(problem, cfg)
     tr = NumpyFDDP(problem, cfg).solve()
     assert bool(res.conv) and tr.conv
     assert int(res.num_iters) == tr.num_iters
+    # the reference expects 2-iteration convergence on LQR
+    # (tests/python/test_solver.py:40)
+    assert int(res.num_iters) == 2
+    # iterate-for-iterate: the oracle records post-step iterates, the JAX
+    # trace records top-of-iteration iterates — offset by one
+    for k, u_o in enumerate(tr.us_hist):
+        du = np.max(np.abs(np.asarray(res.history_us[k + 1]) - u_o))
+        assert du < 1e-10, f"iterate {k}: {du}"
     assert np.max(np.abs(np.asarray(res.us) - tr.us)) < 1e-8
     assert np.max(np.abs(np.asarray(res.xs) - tr.xs)) < 1e-8
 
@@ -78,11 +86,18 @@ def test_fddp_parity_oracle_cartpole():
     from examples.cartpole import create_cartpole_problem
 
     problem = create_cartpole_problem(nsteps=40, u_bound=None)
-    cfg = fddp.FDDPConfig(tol=1e-6, max_iters=60)
+    cfg = fddp.FDDPConfig(tol=1e-6, max_iters=60, record_history_trajs=True)
     res = fddp.solve(problem, cfg)
     tr = NumpyFDDP(problem, cfg).solve()
     assert bool(res.conv) and tr.conv
     assert int(res.num_iters) == tr.num_iters
+    # iterate-for-iterate (post-step vs top-of-iteration offset); the
+    # early iterates must track tightly, tolerance loosens as fp
+    # accumulation differs between the two routes
+    for k, u_o in enumerate(tr.us_hist):
+        if k + 1 < int(res.num_iters):
+            du = np.max(np.abs(np.asarray(res.history_us[k + 1]) - u_o))
+            assert du < 1e-6 * (10.0 ** min(k, 3)), f"iterate {k}: {du}"
     assert np.max(np.abs(np.asarray(res.us) - tr.us)) < 1e-4
     assert np.max(np.abs(np.asarray(res.xs) - tr.xs)) < 1e-4
 
