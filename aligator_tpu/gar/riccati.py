@@ -51,6 +51,48 @@ def _spd_solver(M):
     return smallmat.spd_solver(M)
 
 
+@jax.custom_batching.custom_vmap
+def _spd_solve_dispatch(M, B):
+    """SPD multi-RHS solve that, under an outer ``vmap`` (the batched-MPC
+    execution model), routes the whole batch to the batch-on-lanes Pallas
+    Cholesky kernel (``pallas_spd``) when eligible: TPU backend, fp32,
+    medium dims (n >= 12), batch a multiple of 128, exactly one batch
+    axis.  Unbatched (or ineligible) it is ``smallmat.solve_spd``.
+    Round-4 VERDICT item 4 (the medium-dim Schur-solve spike)."""
+    return smallmat.solve_spd(M, B)
+
+
+@_spd_solve_dispatch.def_vmap
+def _spd_solve_dispatch_rule(axis_size, in_batched, M, B):
+    mb, bb = in_batched
+    M_b = M if mb else jnp.broadcast_to(M[None], (axis_size,) + M.shape)
+    B_b = B if bb else jnp.broadcast_to(B[None], (axis_size,) + B.shape)
+    n = M_b.shape[-1]
+    r = B_b.shape[-1] if B_b.ndim == 3 else 0
+    # conservative per-tile VMEM estimate: 2 n² scratch factors + double-
+    # buffered in/out blocks (n² + 2nr), 128 lanes, fp32 — stay under
+    # ~12 MB of the 16 MB budget (n=56/r=57 measured 16.4 MB with the
+    # 4-scratch variant → scoped-vmem OOM; the in-place kernel + this cap
+    # keep headroom)
+    vmem_est = 4 * 128 * (2 * n * n + 2 * (n * n + 2 * n * r))
+    eligible = (
+        jax.default_backend() == "tpu"
+        and M_b.dtype == jnp.float32
+        and M_b.ndim == 3
+        and B_b.ndim == 3
+        and n >= 12
+        and axis_size % 128 == 0
+        and vmem_est < 12 * 1024 * 1024
+    )
+    if eligible:
+        from . import pallas_spd
+
+        out = pallas_spd.spd_solve_lanes(M_b, B_b)
+    else:
+        out = jax.vmap(smallmat.solve_spd)(M_b, B_b)
+    return out, True
+
+
 @pytree_dataclass
 class RiccatiFactors:
     """Feedforward/feedback gains and value function per stage.
@@ -98,7 +140,7 @@ def _reduced_kkt_solve(Rhat, D, mueq, rhs_u, rhs_c):
 
 
 def _reduced_kkt_solve_joint(Rhat, D, mueq, rhs_u_vec, rhs_c_vec,
-                             rhs_u_mat, rhs_c_mat):
+                             rhs_u_mat, rhs_c_mat, spd_lanes: bool = False):
     """Feedforward + feedback reduced-KKT solves against ONE multi-RHS
     triangular sweep — the (nu,) and (nu, nx[+nth]) right-hand sides share
     one factorization and one traversal (reference solves them separately
@@ -108,7 +150,8 @@ def _reduced_kkt_solve_joint(Rhat, D, mueq, rhs_u_vec, rhs_c_vec,
     W = Rhat + (D.T @ D) / mueq
     Bu = jnp.concatenate([rhs_u_vec[..., None], rhs_u_mat], axis=-1)
     Bc = jnp.concatenate([rhs_c_vec[..., None], rhs_c_mat], axis=-1)
-    U = _chol_solve(_sym(W), Bu + (D.T @ Bc) / mueq)
+    solver = _spd_solve_dispatch if spd_lanes else _chol_solve
+    U = solver(_sym(W), Bu + (D.T @ Bc) / mueq)
     NU = (D @ U - Bc) / mueq
     return U[..., 0], NU[..., 0], U[..., 1:], NU[..., 1:]
 
@@ -138,7 +181,7 @@ def _terminal_solve(kn, t, mueq, nth):
 
 
 def _stage_kernel(knot, carry, mudyn, mueq, assume_explicit, nth,
-                  bf16_prop: bool = False):
+                  bf16_prop: bool = False, spd_lanes: bool = False):
     """One backward Riccati stage (reference stageKernelSolve,
     riccati-kernel.hxx:166). ``carry`` holds the next stage's value function
     (P, p) and, if parametric, (Vxt, Vtt, vt).
@@ -168,7 +211,11 @@ def _stage_kernel(knot, carry, mudyn, mueq, assume_explicit, nth,
         ptilde = -(Einv.T @ p_n)
 
     schur = eye + mudyn * Ptilde
-    schur_solve = _spd_solver(_sym_pd(schur))
+    schur_sym = _sym_pd(schur)
+    if spd_lanes:
+        schur_solve = lambda X: _spd_solve_dispatch(schur_sym, X)  # noqa: E731
+    else:
+        schur_solve = _spd_solver(schur_sym)
     # ONE multi-RHS solve for [Vxx | vx] (and one per reduced KKT below):
     # merging the matrix and vector right-hand sides halves the number of
     # triangular-solve traversals per stage. Measured perf-NEUTRAL on v5e
@@ -210,7 +257,7 @@ def _stage_kernel(knot, carry, mudyn, mueq, assume_explicit, nth,
     rhat = r + B.T @ vx
 
     kff, zff, K, Z = _reduced_kkt_solve_joint(
-        Rhat, D, mueq, -rhat, -d, -Shat.T, -C
+        Rhat, D, mueq, -rhat, -d, -Shat.T, -C, spd_lanes=spd_lanes
     )
 
     lff = vx + Vxx @ (B @ kff)
@@ -282,7 +329,8 @@ def _initial_solve(P0, p0, G0, g0, mudyn, Vxt0=None):
 
 
 def sweep(kn: LQRKnots, mudyn, mueq, assume_explicit: bool = False,
-          unroll: int = 1, bf16_prop: bool = False):
+          unroll: int = 1, bf16_prop: bool = False,
+          spd_lanes: bool = False):
     """Backward Riccati sweep over a knot sequence (no initial-stage solve).
 
     Returns ``(carry, stages)`` where ``carry`` is the value function
@@ -314,7 +362,7 @@ def sweep(kn: LQRKnots, mudyn, mueq, assume_explicit: bool = False,
 
     def scan_body(carry, knot):
         return _stage_kernel(knot, carry, mudyn, mueq, assume_explicit, nth,
-                             bf16_prop)
+                             bf16_prop, spd_lanes)
 
     carry_f, stages = lax.scan(scan_body, carry0, knot_fields, reverse=True,
                                unroll=unroll)
@@ -359,6 +407,7 @@ def backward(
     assume_explicit: bool = False,
     unroll: int = 1,
     bf16_prop: bool = False,
+    spd_lanes: bool = False,
 ) -> RiccatiFactors:
     """Backward Riccati sweep over the full horizon.
 
@@ -371,7 +420,8 @@ def backward(
     nth = kn.nth
 
     carry_f, stages = sweep(kn, mudyn, mueq, assume_explicit,
-                            unroll=unroll, bf16_prop=bf16_prop)
+                            unroll=unroll, bf16_prop=bf16_prop,
+                            spd_lanes=spd_lanes)
 
     P0, p0 = carry_f["P"], carry_f["p"]
     Vxt0 = carry_f["Vxt"] if nth > 0 else None
@@ -487,10 +537,11 @@ _GAIN_FIELDS = ("kff", "K", "zff", "Z", "lff", "L", "yff", "Afb")
 
 
 def _make_solve_and_gains(assume_explicit: bool, unroll: int = 1,
-                          bf16_prop: bool = False):
+                          bf16_prop: bool = False, spd_lanes: bool = False):
     def scan_path(problem: LQRProblem, mudyn, mueq):
         factors = backward(problem, mudyn, mueq, assume_explicit,
-                           unroll=unroll, bf16_prop=bf16_prop)
+                           unroll=unroll, bf16_prop=bf16_prop,
+                           spd_lanes=spd_lanes)
         xs, us, vs, lams = forward(factors, unroll=unroll)
         gains = {k: getattr(factors, k) for k in _GAIN_FIELDS}
         return xs, us, vs, lams, gains
@@ -539,10 +590,11 @@ _SOLVE_AND_GAINS = {}
 
 
 def _get_solve_and_gains(assume_explicit: bool, unroll: int,
-                         bf16_prop: bool):
+                         bf16_prop: bool, spd_lanes: bool):
     # memoized per option tuple: custom_vmap objects must be built once at
     # module scope semantics (rebuilding per call would retrace)
-    key = (bool(assume_explicit), int(unroll), bool(bf16_prop))
+    key = (bool(assume_explicit), int(unroll), bool(bf16_prop),
+           bool(spd_lanes))
     fn = _SOLVE_AND_GAINS.get(key)
     if fn is None:
         fn = _SOLVE_AND_GAINS[key] = _make_solve_and_gains(*key)
@@ -551,7 +603,7 @@ def _get_solve_and_gains(assume_explicit: bool, unroll: int,
 
 def solve_and_gains(problem: LQRProblem, mudyn, mueq,
                     assume_explicit: bool = True, unroll: int = 1,
-                    bf16_prop: bool = False):
+                    bf16_prop: bool = False, spd_lanes: bool = False):
     """Solve + per-stage gains, with a TPU fused-kernel fast path under vmap.
 
     Unbatched, this is ``backward`` + ``forward`` (the XLA scan path). Under
@@ -571,7 +623,7 @@ def solve_and_gains(problem: LQRProblem, mudyn, mueq,
     value-propagation GEMMs in bf16 with fp32 accumulation (the KKT core
     stays fp32). Both are no-ops on the fused-Pallas dispatch.
     """
-    return _get_solve_and_gains(assume_explicit, unroll, bf16_prop)(
+    return _get_solve_and_gains(assume_explicit, unroll, bf16_prop, spd_lanes)(
         problem, mudyn, mueq
     )
 

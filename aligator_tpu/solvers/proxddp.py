@@ -132,6 +132,13 @@ class ProxDDPConfig:
     # precision policy keeps KKT-adjacent algebra in fp32, so it is
     # deliberately NOT exposed on the production solver config.
     lq_scan_unroll: int = 1
+    # batch-on-lanes Pallas SPD solves inside the Riccati stage kernel
+    # (gar/pallas_spd.py): measured 1.84x on the nx=36 medium-dim sweep at
+    # batch 1024 (round-4 spike). None = auto (enabled when ndx >= 16 —
+    # medium dims where the fused small-dim kernel doesn't apply; the
+    # dispatch itself re-checks TPU/fp32/batch%128 eligibility at trace
+    # time and falls back to the XLA path otherwise).
+    lq_spd_lanes: Optional[bool] = None
     # runtime μ floor for 'associative': when min(mudyn, mueq) drops below
     # this, the Newton step falls back to the serial sweep for that solve
     # (lax.cond) instead of silently entering the scan's divergence region.
@@ -737,6 +744,12 @@ def solve(
 
         mudyn = cfg.dyn_al_scale * st.mu
         lq = _assemble_lq(problem, cfg, data, m, Lxs, Lus, st.preg, st.mu)
+        # batch-on-lanes SPD dispatch: auto-on at medium dims (the fused
+        # small-dim Pallas kernel covers nx <= 8; eligibility is re-checked
+        # inside the dispatch, so this is a trace-time hint, not a promise)
+        spd_lanes = (
+            cfg.lq_spd_lanes if cfg.lq_spd_lanes is not None else ndx >= 16
+        )
         if cfg.linear_solver == "parallel":
             # parallel-in-time leg condensation (reference requires LINEAR
             # rollout with the parallel solver, solver-proxddp.hxx:169-181)
@@ -792,7 +805,7 @@ def solve(
             # Pallas TPU kernel when eligible (gar/pallas_riccati.py)
             dxs, dus_p, dvs_p, dlams, gains = riccati.solve_and_gains(
                 lq, mudyn, st.mu, assume_explicit,
-                unroll=cfg.lq_scan_unroll,
+                unroll=cfg.lq_scan_unroll, spd_lanes=spd_lanes,
             )
             factors = riccati.RiccatiFactors(
                 **gains,
@@ -805,7 +818,7 @@ def solve(
         else:
             factors = riccati.backward(
                 lq, mudyn, st.mu, assume_explicit,
-                unroll=cfg.lq_scan_unroll,
+                unroll=cfg.lq_scan_unroll, spd_lanes=spd_lanes,
             )
             dxs, dus_p, dvs_p, dlams = riccati.forward(
                 factors, unroll=cfg.lq_scan_unroll

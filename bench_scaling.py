@@ -85,7 +85,7 @@ def main():
         )
 
 
-if __name__ == "__main__" and "--time" not in sys.argv:
+if __name__ == "__main__" and "--time" not in sys.argv and "--audit" not in sys.argv:
     main()
 
 
@@ -170,3 +170,76 @@ if __name__ == "__main__" and "--time" in sys.argv:
 
     main_time()
     sys.exit(0)
+
+
+def main_audit():
+    """Interface communication-volume audit for the parallel-in-time path
+    (round-4 VERDICT item 8): exact per-solve bytes crossing the leg
+    interfaces (the only globally-coupled data in ``gar/parallel.py``)
+    against per-leg sweep FLOPs, making the multi-chip scaling story
+    falsifiable without multi-chip hardware.
+
+    Per non-last leg the condensed system gathers P, Vxt, Vtt (nx² each),
+    p, vt (nx each) and the interface E block (nx²); the condensed solution
+    scatters x_head, λ_head, θ (nx each) back — see
+    ``gar/parallel.py:165-210``.  Per-leg compute is (T/L)·stage_flops with
+    the medium-dim stage decomposition (Schur solve / value GEMMs /
+    reduced KKT).  The knee estimate divides comm bytes by an ASSUMED
+    per-link bandwidth (parameter, not a measurement) and compares with
+    per-leg compute at an assumed FLOP rate.
+    """
+    import numpy as np
+
+    T, nx, nu, nc = 101, 36, 12, 12
+    itemsize = 4
+    # per-stage FLOPs (fp32, fused counts; see README medium-dim roofline)
+    chol = nx**3 / 3 + 2 * nx**2 * (nx + 1)          # Schur solve, 37 RHS
+    gemms = 2 * nx**3 * 3 + 4 * nx**2 * nu            # A'V, A'VA, B'V, ...
+    red = nu**3 / 3 + 2 * nu**2 * (1 + nx + nc) + 2 * nu * nc * (1 + nx)
+    stage_flops = chol + gemms + red
+
+    ici_gbps = 90.0   # ASSUMED aggregate interface bandwidth, GB/s
+    # two sustained-rate scenarios: fp32 peak-ish, and the measured
+    # medium-dim sweep efficiency (the scan runs ~2x off the VPU roofline,
+    # README) — both clearly assumptions, not measurements
+    rate_scenarios = {"peak20T": 2e13, "sustained1T": 1e12}
+
+    for legs in (2, 4, 8, 16, 32, 64):
+        gather = legs * (3 * nx * nx + 2 * nx) * itemsize
+        gather += (legs - 1) * nx * nx * itemsize  # interface E blocks
+        scatter = legs * 3 * nx * itemsize
+        comm_bytes = gather + scatter
+        per_leg_flops = (T / legs) * stage_flops
+        t_comm = comm_bytes / (ici_gbps * 1e9)
+        row = {
+            "legs": legs,
+            "interface_bytes": int(comm_bytes),
+            "per_leg_stages": round(T / legs, 1),
+            "per_leg_flops": int(per_leg_flops),
+        }
+        for name, rate in rate_scenarios.items():
+            row[f"comm_to_compute_{name}"] = round(
+                t_comm / (per_leg_flops / rate), 4
+            )
+        print(json.dumps({
+            "metric": "pit_interface_comm_audit", **row,
+            "assumed_ici_gbps": ici_gbps,
+        }))
+    # the knee: comm ≈ compute when (T/L)·stage_flops/rate ≈ bytes(L)/BW;
+    # bytes grows ~linearly in L while compute shrinks ~1/L → knee at
+    # L* ≈ sqrt(T·stage_flops·BW / (4nx²·itemsize·rate))
+    for name, rate in rate_scenarios.items():
+        Lstar = np.sqrt(
+            T * stage_flops * ici_gbps * 1e9
+            / (4 * nx * nx * itemsize * rate)
+        )
+        print(json.dumps({
+            "metric": "pit_interface_comm_knee",
+            "scenario": name,
+            "L_star": round(float(Lstar), 1),
+            "note": "comm==compute crossover under the assumed rates",
+        }))
+
+
+if __name__ == "__main__" and "--audit" in sys.argv:
+    main_audit()
