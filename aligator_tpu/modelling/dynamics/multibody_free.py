@@ -30,6 +30,20 @@ class MultibodyFreeFwdDynamics(ODE):
         # tangent of the phase space = (dq, dv)
         return jnp.concatenate([v, a], axis=-1)
 
+    def acc_derivatives(self, space, x, u):
+        """Analytic (a, ∂a/∂dq, ∂a/∂dv, ∂a/∂u) in tangent coordinates —
+        the direct-assembly protocol consumed by
+        ``IntegratorSemiImplEuler.jacobians`` (one derivative-matrix pass
+        per stage instead of ndx+nu forward tangents)."""
+        from ..multibody.derivatives import aba_derivatives
+
+        nq = self.model.nq
+        q, v = x[..., :nq], x[..., nq:]
+        a, da_dq, da_dv, solve_M = aba_derivatives(
+            self.model, q, v, self.actuation @ u
+        )
+        return a, da_dq, da_dv, solve_M(self.actuation)
+
 
 @pytree_dataclass
 class MultibodyGravityCompensatedDynamics(ODE):
@@ -79,3 +93,35 @@ class MultibodyFlexibleFwdDynamics(ODE):
         )
         a = rbd.aba(self.model, q, v, tau)
         return jnp.concatenate([v, a], axis=-1)
+
+    def acc_derivatives(self, space, x, u):
+        """Analytic acceleration derivatives; the passive spring-damper
+        torque contributes −M⁻¹K / −M⁻¹D through the τ channel (nq == nv,
+        so q-tangent coords coincide with q)."""
+        from ..multibody.derivatives import aba_derivatives
+
+        nq = self.model.nq
+        q, v = x[..., :nq], x[..., nq:]
+        tau = (
+            self.actuation @ u
+            - self.stiffness * (q - self.q_rest)
+            - self.damping * v
+        )
+        a, da_dq, da_dv, solve_M = aba_derivatives(self.model, q, v, tau)
+        nv = self.model.nv
+        dt = q.dtype
+        KD_B = jnp.concatenate(
+            [
+                -jnp.diag(self.stiffness.astype(dt)),
+                -jnp.diag(self.damping.astype(dt)),
+                self.actuation.astype(dt),
+            ],
+            axis=1,
+        )
+        Minv_KDB = solve_M(KD_B)
+        return (
+            a,
+            da_dq + Minv_KDB[:, :nv],
+            da_dv + Minv_KDB[:, nv : 2 * nv],
+            Minv_KDB[:, 2 * nv :],
+        )

@@ -74,7 +74,15 @@ class IntegratorEuler(ExplicitDynamics):
 class IntegratorSemiImplEuler(ExplicitDynamics):
     """Semi-implicit (symplectic) Euler on a tangent bundle (q, v):
     v⁺ = v + h·a(x,u); q⁺ = q ⊕ h·v⁺ (reference
-    ``integrator-semi-euler.hpp:17``). The ODE's xdot = (v, a)."""
+    ``integrator-semi-euler.hpp:17``). The ODE's xdot = (v, a).
+
+    When the ODE implements the ``acc_derivatives`` protocol (the
+    multibody dynamics do — analytic RBD derivatives,
+    ``multibody/derivatives.py``), :meth:`jacobians` assembles the
+    discrete (A, B, E) directly from the acceleration derivative
+    matrices and the manifold chart Jacobians — one derivative pass +
+    a handful of ndx-sized products per stage instead of ndx+nu forward
+    tangents (the round-4 whole-body derivative-phase lever)."""
 
     ode: ODE
     timestep: jax.Array
@@ -91,6 +99,48 @@ class IntegratorSemiImplEuler(ExplicitDynamics):
             x[..., : space.base.nx], self.timestep * v_next
         )
         return jnp.concatenate([q_next, v_next], axis=-1)
+
+    def jacobians(self, space, x, u, y):
+        acc_fn = getattr(self.ode, "acc_derivatives", None)
+        if acc_fn is None or not isinstance(space, TangentBundle):
+            return ExplicitDynamics.jacobians(self, space, x, u, y)
+        base = space.base
+        nq, nv = base.nx, base.ndx
+        dt = jnp.result_type(x)
+        h = self.timestep
+
+        a, da_dq, da_dv, da_du = acc_fn(space, x, u)
+        v_next = x[..., nq:] + h * a
+        hv = h * v_next
+        q_x = x[..., :nq]
+        q_next = base.integrate(q_x, hv)
+
+        # chart Jacobians (tangent coords), one evaluation per stage
+        J1 = base.jintegrate(q_x, hv, 0)  # ∂ξ_{q+}/∂dq_x
+        J2 = base.jintegrate(q_x, hv, 1)  # ∂ξ_{q+}/∂(h v+)
+        y_q = y[..., :nq]
+        Jd0 = base.jdifference(y_q, q_next, 0)  # residual wrt dq_y
+        Jd1 = base.jdifference(y_q, q_next, 1)  # residual wrt ξ_{q+}
+
+        h2 = h * h
+        eye = jnp.eye(nv, dtype=dt)
+        Jd1J2 = Jd1 @ J2
+        A = jnp.block(
+            [
+                [Jd1 @ J1 + h2 * (Jd1J2 @ da_dq),
+                 Jd1J2 @ (h * eye + h2 * da_dv)],
+                [h * da_dq, eye + h * da_dv],
+            ]
+        )
+        B = jnp.concatenate([h2 * (Jd1J2 @ da_du), h * da_du], axis=0)
+        nu = da_du.shape[-1]
+        E = jnp.block(
+            [
+                [Jd0, jnp.zeros((nv, nv), dt)],
+                [jnp.zeros((nv, nv), dt), -eye],
+            ]
+        )
+        return A, B, E
 
 
 @pytree_dataclass

@@ -305,6 +305,22 @@ class MultibodyConstraintFwdDynamics(ODE):
         )
         return jnp.concatenate([v, a], axis=-1)
 
+    def acc_derivatives(self, space, x, u):
+        """Analytic (a, ∂a/∂dq, ∂a/∂dv, ∂a/∂u) via the constrained-KKT
+        derivative pass — the direct-assembly protocol consumed by
+        ``IntegratorSemiImplEuler.jacobians``."""
+        from .derivatives import constrained_fd_derivatives
+
+        nq = self.model.nq
+        q, v = x[..., :nq], x[..., nq:]
+        tau = self.actuation @ u
+        (a, _f, da_dq, da_dv, da_dt, *_rest) = constrained_fd_derivatives(
+            self.model, q, v, tau, self.contact_frames, self.active,
+            prox_mu=self.prox_mu, kd=self.kd,
+            contact_dims=self.contact_dims,
+        )
+        return a, da_dq, da_dv, da_dt @ self.actuation
+
 
 def _contact_force(self, x, u):
     nq = self.model.nq

@@ -167,3 +167,62 @@ def test_model_param_tangent_fallback():
     Jr = jax.jacfwd(a_of_mass_raw)(z)
     s = max(1.0, float(jnp.abs(Jr).max()))
     assert float(jnp.abs(Jp - Jr).max()) < 1e-10 * s
+
+
+@pytest.mark.parametrize("which", ["free", "flexible", "contact"])
+def test_semi_implicit_euler_direct_jacobians(which):
+    """IntegratorSemiImplEuler.jacobians assembles (A, B, E) directly from
+    the analytic acceleration derivatives + manifold chart Jacobians; must
+    match the generic autodiff path to machine precision (round-4
+    derivative-phase lever)."""
+    from aligator_tpu.core.dynamics import ExplicitDynamics
+    from aligator_tpu.modelling import IntegratorSemiImplEuler
+    from aligator_tpu.modelling.dynamics.multibody_free import (
+        MultibodyFlexibleFwdDynamics,
+        MultibodyFreeFwdDynamics,
+    )
+    from aligator_tpu.modelling.multibody.contact import (
+        MultibodyConstraintFwdDynamics,
+    )
+
+    if which == "contact":
+        model = make_humanoid()
+        act = jnp.eye(model.nv, model.nv - 6, -6)
+        ode = MultibodyConstraintFwdDynamics(
+            model=model, actuation=act, active=jnp.array([1.0, 0.0]),
+            contact_frames=(
+                model.frame_id("left_sole"), model.frame_id("right_sole")
+            ),
+            contact_dims=(6, 6),
+        )
+        nu = model.nv - 6
+    else:
+        model = make_ur5()
+        nu = model.nv
+        if which == "free":
+            ode = MultibodyFreeFwdDynamics(
+                model=model, actuation=jnp.eye(nu)
+            )
+        else:
+            ode = MultibodyFlexibleFwdDynamics(
+                model=model, actuation=jnp.eye(nu),
+                stiffness=jnp.full(nu, 2.0), damping=jnp.full(nu, 0.5),
+                q_rest=jnp.zeros(nu),
+            )
+
+    space = model.phase_space()
+    key = jax.random.PRNGKey(0)
+    q = model.configuration_space().rand(key)
+    v = 0.3 * jax.random.normal(jax.random.fold_in(key, 1), (model.nv,))
+    x = jnp.concatenate([q, v])
+    u = jax.random.normal(jax.random.fold_in(key, 2), (nu,))
+    dyn = IntegratorSemiImplEuler(ode=ode, timestep=jnp.asarray(0.015))
+    y = space.integrate(
+        dyn.forward(space, x, u),
+        0.01 * jax.random.normal(jax.random.fold_in(key, 3), (space.ndx,)),
+    )
+    direct = dyn.jacobians(space, x, u, y)
+    auto = ExplicitDynamics.jacobians(dyn, space, x, u, y)
+    for z1, z0 in zip(direct, auto):
+        s = max(1.0, float(jnp.abs(z0).max()))
+        assert float(jnp.abs(z1 - z0).max()) < 1e-9 * s
