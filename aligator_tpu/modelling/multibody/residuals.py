@@ -38,6 +38,18 @@ class FrameTranslationResidual(StageFunction):
         _, p = rbd.frame_placement(self.model, q, self.frame_id)
         return p - self.p_ref
 
+    def jacobians(self, space, x, u):
+        """Analytic: the linear rows of the LOCAL_WORLD_ALIGNED frame
+        Jacobian (∂p/∂dq); zero in (v, u).  Replaces the ndx+nu-tangent
+        autodiff default — this residual sits on every swing-foot tracking
+        cost of the whole-body problems (round-4 derivative-phase work)."""
+        q, _ = _split_qv(self.model, x)
+        J = rbd.frame_jacobian_lwa(self.model, q, self.frame_id)[:3]
+        dt = jnp.result_type(x)
+        nv = self.model.nv
+        Jx = jnp.concatenate([J, jnp.zeros((3, space.ndx - nv), dt)], axis=1)
+        return Jx, jnp.zeros((3,) + u.shape, dt)
+
 
 @pytree_dataclass
 class FramePlacementResidual(StageFunction):
@@ -57,6 +69,38 @@ class FramePlacementResidual(StageFunction):
         qrel = _matrix_to_quat(R_rel)
         v, w = se3_log(p_rel, qrel)
         return jnp.concatenate([v, w])
+
+    def jacobians(self, space, x, u):
+        """Analytic-hybrid: chain the 6×6 Jacobian of the log map (a tiny
+        chart jacfwd at the CURRENT pose — 6 tangents through log₆ only)
+        with the analytic LOCAL frame Jacobian, instead of pushing ndx+nu
+        tangents through the whole FK."""
+        q, _ = _split_qv(self.model, x)
+        kin = rbd.kinematics(self.model, q)
+        R, p = rbd.frame_placement(self.model, q, self.frame_id, kin=kin)
+        J6 = rbd.frame_jacobian_lwa(self.model, q, self.frame_id, kin=kin)
+        # LOCAL twist Jacobian (right-trivialized): rotate both row blocks
+        J_loc = jnp.concatenate([R.T @ J6[:3], R.T @ J6[3:]], axis=0)
+        dt = jnp.result_type(x)
+
+        def log_of_xi(xi):
+            # right perturbation M·exp(ξ): p' = p + R v, R' = R exp(ŵ)
+            from ..spaces.se3 import exp3_quat, quat_to_matrix
+
+            dR = quat_to_matrix(exp3_quat(xi[3:]))
+            Rp = R @ dR
+            pp = p + R @ xi[:3]
+            R_rel = self.R_ref.T @ Rp
+            p_rel = self.R_ref.T @ (pp - self.p_ref)
+            v, w = se3_log(p_rel, _matrix_to_quat(R_rel))
+            return jnp.concatenate([v, w])
+
+        Jlog = jax.jacfwd(log_of_xi)(jnp.zeros((6,), dt))
+        nv = self.model.nv
+        Jx = jnp.concatenate(
+            [Jlog @ J_loc, jnp.zeros((6, space.ndx - nv), dt)], axis=1
+        )
+        return Jx, jnp.zeros((6,) + u.shape, dt)
 
 
 @pytree_dataclass

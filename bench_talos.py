@@ -19,8 +19,11 @@ Riccati solve (ndx=56) — to identify the saturating component of the
 whole-body solve (reference per-zone Tracy profile of
 ``bench/talos-walk.cpp``).
 
-Measured (TPU v5e, 2026-08-19): {"metric": "talos_walk_solves_per_sec",
-"value": 20.3, "unit": "solves/s", "batch": 16, "nsteps": 32}
+Measured (TPU v5e): r3 20.3 solves/s (batch 16; derivative phase 81.5 ms
+= 55% of an iteration, autodiff through the contact KKT) → r4 52.7-53.5
+solves/s after the analytic RBD derivatives + direct (A,B,E) assembly
+(derivative phase 36.9-39.4 ms measured incl. ~20 ms tunnel RTT per
+dispatch; the phases are launch-bound at batch 16 — see README).
 """
 
 import json

@@ -130,7 +130,7 @@ if __name__ == "__main__":
 
     problem, model, (R_t, p_t) = create_panda_problem(nsteps=50)
     cfg = solvers.ProxDDPConfig(
-        tol=1e-4, mu_init=1e-2, max_iters=100, rollout="nonlinear"
+        tol=1e-4, mu_init=1e-2, max_iters=300, rollout="nonlinear"
     )
     res = solvers.solve(problem, cfg)
     print("conv:", bool(res.conv), "iters:", int(res.num_iters))
