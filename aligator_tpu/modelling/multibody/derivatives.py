@@ -642,3 +642,105 @@ def cfd_custom(contact_frames, contact_dims, prox_mu, kp, kd,
         return _tangent_rule(primals, tangents, None, None)
 
     return fn0
+
+
+# ---------------------------------------------------------------------------
+# kinematic residual derivatives (frame velocity, CoM) — round-4 extension
+# ---------------------------------------------------------------------------
+
+
+def velocity_tensors(model, q, v, kin=None):
+    """Light-weight subset of :func:`rnea_tensors`: the primal kinematics
+    plus the body-velocity derivative tensor dV (nv, nb, 6) only — what the
+    kinematic residual Jacobians need (no inertia/force pass)."""
+    dt = q.dtype
+    if kin is None:
+        kin = rbd.kinematics(model, q, v)
+    top, dj, D_np, pb_np = _dof_tables(model)
+    A = kin["A"]
+    S = kin["Phi"]
+    Vb = kin["V"]
+    maskjb = A.T[:, :, None]
+    pb_safe = np.maximum(pb_np, 0)
+    has_par = jnp.asarray((pb_np >= 0).astype(np.float64), dt)[:, None]
+    Vpar = Vb[pb_safe] * has_par
+    dV = maskjb * motion_cross(
+        S[:, None, :], Vb[None, :, :] - Vpar[:, None, :]
+    )
+    return {"kin": kin, "S": S, "A": A, "Vb": Vb, "dV": dV}
+
+
+def frame_velocity_jacobians(model, q, v, frame_id):
+    """Analytic (Jq, Jv), each (6, nv): tangent-space Jacobians of the
+    LOCAL-frame spatial velocity of ``frame_id`` (the
+    ``FrameVelocityResidual`` derivative)."""
+    t = velocity_tensors(model, q, v)
+    kin, S, A, Vb, dV = t["kin"], t["S"], t["A"], t["Vb"], t["dV"]
+    body = model.frame_parents[frame_id]
+    R, p = rbd.frame_placement(model, q, frame_id, kin=kin)
+    V = Vb[body]
+    omega, VL = V[3:], V[:3]
+    ab = A[body]  # (nv,)
+
+    # velocity part: the LOCAL frame Jacobian rows
+    J6 = rbd.frame_jacobian_lwa(model, q, frame_id, kin=kin)
+    Jv = jnp.concatenate([R.T @ J6[:3], R.T @ J6[3:]], axis=0)
+
+    # configuration part: transport of the frame pose + body velocity
+    dom, dVL = dV[:, body, 3:], dV[:, body, :3]
+    dp = ab[:, None] * (S[:, :3] + jnp.cross(S[:, 3:], p[None, :]))
+    wmask = ab[:, None] * S[:, 3:]  # frame ang. velocity of each dof screw
+    v_at_f = VL + jnp.cross(omega, p)
+    # d(Rᵀx)[j] = −Rᵀ(w_j × x) + Rᵀ dx[j]
+    dlin = -jnp.cross(wmask, v_at_f[None, :]) + (
+        dVL + jnp.cross(dom, p[None, :]) + jnp.cross(omega[None, :], dp)
+    )
+    dang = -jnp.cross(wmask, omega[None, :]) + dom
+    # rows j of dlin/dang are world vectors; LOCAL coords are Rᵀ·row, i.e.
+    # (d @ R) has rows (Rᵀ d_j)ᵀ — transpose to (3, nv)
+    Jq = jnp.concatenate([(dlin @ R).T, (dang @ R).T], axis=0)
+    return Jq, Jv
+
+
+def com_jacobian(model, q, kin=None):
+    """Analytic (3, nv) CoM translation Jacobian (pinocchio
+    ``jacobianCenterOfMass`` role)."""
+    dt = q.dtype
+    if kin is None:
+        kin = rbd.kinematics(model, q)
+    A, S = kin["A"], kin["Phi"]
+    m = model.mass.astype(dt)
+    c_w = kin["p"] + jnp.einsum(
+        "nij,nj->ni", kin["R"], model.com.astype(dt)
+    )
+    # dof j moves body b's com with the point velocity of screw S_j
+    dcom = jnp.einsum(
+        "b,bj,jbs->js", m, A, S[:, None, :3]
+        + jnp.cross(S[:, None, 3:], c_w[None, :, :]),
+    ) / jnp.sum(m)
+    return dcom.T  # (3, nv)
+
+
+def com_velocity_jacobians(model, q, v):
+    """Analytic (Jq, Jv), each (3, nv), of the CoM linear velocity."""
+    t = velocity_tensors(model, q, v)
+    kin, S, A, Vb, dV = t["kin"], t["S"], t["A"], t["Vb"], t["dV"]
+    dt = q.dtype
+    m = model.mass.astype(dt)
+    M = jnp.sum(m)
+    c_w = kin["p"] + jnp.einsum(
+        "nij,nj->ni", kin["R"], model.com.astype(dt)
+    )
+    Jv = com_jacobian(model, q, kin=kin)
+    # vcom = Σ m_b (VL_b + ω_b × c_b)/M; differentiate each term
+    omega = Vb[:, 3:]
+    dc = A.T[:, :, None] * (
+        S[:, None, :3] + jnp.cross(S[:, None, 3:], c_w[None, :, :])
+    )  # (nv, nb, 3)
+    dterm = (
+        dV[:, :, :3]
+        + jnp.cross(dV[:, :, 3:], c_w[None, :, :])
+        + jnp.cross(omega[None, :, :], dc)
+    )  # (nv, nb, 3)
+    Jq = (jnp.einsum("b,jbs->js", m, dterm) / M).T
+    return Jq, Jv

@@ -115,6 +115,16 @@ class FrameVelocityResidual(StageFunction):
         q, v = _split_qv(self.model, x)
         return rbd.frame_velocity(self.model, q, v, self.frame_id) - self.v_ref
 
+    def jacobians(self, space, x, u):
+        from .derivatives import frame_velocity_jacobians
+
+        q, v = _split_qv(self.model, x)
+        Jq, Jv = frame_velocity_jacobians(self.model, q, v, self.frame_id)
+        return (
+            jnp.concatenate([Jq, Jv], axis=1),
+            jnp.zeros((6,) + u.shape, jnp.result_type(x)),
+        )
+
 
 @pytree_dataclass
 class CenterOfMassTranslationResidual(StageFunction):
@@ -126,6 +136,16 @@ class CenterOfMassTranslationResidual(StageFunction):
     def value(self, space, x, u):
         q, _ = _split_qv(self.model, x)
         return rbd.center_of_mass(self.model, q) - self.p_ref
+
+    def jacobians(self, space, x, u):
+        from .derivatives import com_jacobian
+
+        q, _ = _split_qv(self.model, x)
+        J = com_jacobian(self.model, q)
+        dt = jnp.result_type(x)
+        nv = self.model.nv
+        Jx = jnp.concatenate([J, jnp.zeros((3, space.ndx - nv), dt)], axis=1)
+        return Jx, jnp.zeros((3,) + u.shape, dt)
 
 
 @pytree_dataclass
@@ -149,6 +169,16 @@ class CenterOfMassVelocityResidual(StageFunction):
         vel = jax.jvp(com_of_dq, (z,), (v,))[1]
         return vel - self.v_ref
 
+    def jacobians(self, space, x, u):
+        from .derivatives import com_velocity_jacobians
+
+        q, v = _split_qv(self.model, x)
+        Jq, Jv = com_velocity_jacobians(self.model, q, v)
+        return (
+            jnp.concatenate([Jq, Jv], axis=1),
+            jnp.zeros((3,) + u.shape, jnp.result_type(x)),
+        )
+
 
 @pytree_dataclass
 class GravityCompensationResidual(StageFunction):
@@ -163,6 +193,22 @@ class GravityCompensationResidual(StageFunction):
         zero = jnp.zeros((self.model.nv,), x.dtype)
         grav = rbd.rnea(self.model, q, zero, zero)
         return self.actuation @ u - grav
+
+    def jacobians(self, space, x, u):
+        """Analytic: −∂g/∂dq from the RNEA derivative pass at zero
+        velocity/acceleration; Ju = B."""
+        from .derivatives import rnea_derivatives
+
+        q, _ = _split_qv(self.model, x)
+        zero = jnp.zeros((self.model.nv,), x.dtype)
+        dg_dq, _ = rnea_derivatives(self.model, q, zero, zero)
+        dt = jnp.result_type(x)
+        nv = self.model.nv
+        Jx = jnp.concatenate(
+            [-dg_dq, jnp.zeros((nv, space.ndx - nv), dt)], axis=1
+        )
+        return Jx, jnp.broadcast_to(self.actuation.astype(dt),
+                                    (nv,) + u.shape)
 
 
 def _matrix_to_quat(R):

@@ -133,3 +133,25 @@ def test_quadrotor_obstacles():
         assert float(res.xs[:, 2].min()) > -1e-6  # above the floor
         assert float(jnp.linalg.norm(res.xs[-1][:3]
                                      - jnp.array([1.5, 1.5, 1.0]))) < 0.05
+
+
+@pytest.mark.slow
+def test_double_pendulum_and_linear_euler():
+    """Round-4 example-coverage closure: the reference's standalone
+    double_pendulum.py and linear_euler.py counterparts solve through."""
+    from examples.double_pendulum import create_double_pendulum_problem
+    from examples.linear_euler import create_linear_euler_problem
+
+    problem = create_linear_euler_problem()
+    res = solvers.solve(problem, solvers.ProxDDPConfig(tol=1e-8))
+    assert bool(res.conv)
+
+    problem, model = create_double_pendulum_problem()
+    cfg = solvers.ProxDDPConfig(
+        tol=1e-5, mu_init=1e-2, max_iters=300, rollout="nonlinear"
+    )
+    res = solvers.solve(problem, cfg)
+    xN = res.xs[-1]
+    assert float(jnp.abs(xN[0] - jnp.pi)) < 0.02  # upright
+    assert float(jnp.abs(xN[1])) < 0.02
+    assert float(jnp.max(jnp.abs(res.us))) <= 25.0 + 1e-3

@@ -226,3 +226,50 @@ def test_semi_implicit_euler_direct_jacobians(which):
     for z1, z0 in zip(direct, auto):
         s = max(1.0, float(jnp.abs(z0).max()))
         assert float(jnp.abs(z1 - z0).max()) < 1e-9 * s
+
+
+def test_residual_analytic_jacobians():
+    """The multibody residual classes override jacobians with analytic
+    forms (frame translation/placement/velocity, CoM translation/velocity,
+    gravity compensation) — all must match the StageFunction autodiff
+    default to machine precision on the floating-base humanoid."""
+    from aligator_tpu.core.functions import StageFunction
+    from aligator_tpu.modelling.multibody.residuals import (
+        CenterOfMassTranslationResidual,
+        CenterOfMassVelocityResidual,
+        FramePlacementResidual,
+        FrameTranslationResidual,
+        FrameVelocityResidual,
+        GravityCompensationResidual,
+    )
+
+    model = make_humanoid()
+    space = model.phase_space()
+    key = jax.random.PRNGKey(0)
+    q = model.configuration_space().rand(key)
+    v = 0.4 * jax.random.normal(jax.random.fold_in(key, 1), (model.nv,))
+    x = jnp.concatenate([q, v])
+    u = jax.random.normal(jax.random.fold_in(key, 2), (model.nv,))
+    fid = model.frame_id("left_sole")
+    residuals = [
+        FrameTranslationResidual(model=model,
+                                 p_ref=jnp.array([0.1, 0.2, 0.3]),
+                                 frame_id=fid),
+        FramePlacementResidual(model=model, R_ref=jnp.eye(3),
+                               p_ref=jnp.array([0.1, 0.2, 0.3]),
+                               frame_id=fid),
+        FrameVelocityResidual(model=model, v_ref=jnp.zeros(6),
+                              frame_id=fid),
+        CenterOfMassTranslationResidual(model=model,
+                                        p_ref=jnp.zeros(3)),
+        CenterOfMassVelocityResidual(model=model, v_ref=jnp.zeros(3)),
+        GravityCompensationResidual(model=model,
+                                    actuation=jnp.eye(model.nv)),
+    ]
+    for res in residuals:
+        Jx1, Ju1 = res.jacobians(space, x, u)
+        Jx0, Ju0 = StageFunction.jacobians(res, space, x, u)
+        s = max(1.0, float(jnp.abs(Jx0).max()))
+        name = type(res).__name__
+        assert float(jnp.abs(Jx1 - Jx0).max()) < 1e-9 * s, name
+        assert float(jnp.abs(Ju1 - Ju0).max()) < 1e-12, name
