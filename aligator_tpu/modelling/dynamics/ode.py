@@ -133,7 +133,6 @@ class IntegratorSemiImplEuler(ExplicitDynamics):
             ]
         )
         B = jnp.concatenate([h2 * (Jd1J2 @ da_du), h * da_du], axis=0)
-        nu = da_du.shape[-1]
         E = jnp.block(
             [
                 [Jd0, jnp.zeros((nv, nv), dt)],

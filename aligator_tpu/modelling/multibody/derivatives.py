@@ -41,8 +41,6 @@ from __future__ import annotations
 
 import functools
 
-from typing import Optional
-
 import numpy as np
 
 import jax
@@ -122,10 +120,12 @@ def rnea_tensors(model, q, v, a, fext=None, kin=None):
     directional-derivative tensors indexed ``[j, …]`` over the nv tangent
     directions:
 
-      S (nv,6), Vb/Accb/Ca (nb,6), I6 (nb,6,6), f (nb,6), F (nv,6),
-      dV/dAcc/df  (nv,nb,6)   — q-direction derivatives
-      dVv/dAccv/dfv (nv,nb,6) — v-direction derivatives
-      dtau_dq, dtau_dv (nv,nv) — rows = τ component, cols = tangent dir.
+      S (nv,6), Vb/Accb (nb,6), I6 (nb,6,6), f (nb,6), F (nv,6),
+      dV/dAcc (nv,nb,6) — q-direction derivative tensors,
+      dVv/dAccv (nv,nb,6) — v-direction derivative tensors,
+      dtau_dq, dtau_dv (nv,nv) — rows = τ component, cols = tangent dir
+      (the per-body force derivatives df/dfv are contracted into
+      dtau_dq/dtau_dv and not returned).
 
     ``fext``: optional (nb,6) external spatial forces in each joint's LOCAL
     frame (body-fixed under perturbation), as :func:`model.rnea`.

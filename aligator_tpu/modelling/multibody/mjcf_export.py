@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .model import FREEFLYER, PRISMATIC, REVOLUTE, RobotModel
+from .model import FREEFLYER, REVOLUTE, RobotModel
 
 
 def _fmt(a):

@@ -46,7 +46,6 @@ from aligator_tpu.modelling import IntegratorSemiImplEuler
 from aligator_tpu.modelling.dynamics.multibody_free import (
     MultibodyFlexibleFwdDynamics,
 )
-from aligator_tpu.modelling.multibody import model as rbd
 from aligator_tpu.modelling.multibody.residuals import (
     FramePlacementResidual,
     FrameVelocityResidual,
