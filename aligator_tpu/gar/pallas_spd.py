@@ -26,24 +26,26 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 
 
-def _spd_kernel(A_ref, R_ref, X_ref, L_ref, U_ref):
-    """One batch tile: factor A in place (the input block is consumed as
-    the working matrix) into L (columns) and U = Lᵀ (rows), then
-    substitute in place — the forward pass overwrites the RHS block, the
-    backward pass fills the zero-initialized output (classic in-place
-    triangular substitution), so only the two factor buffers are scratch.
-    All loops are ``fori_loop`` with dynamic sublane slices — the lowered
-    op count is O(n), not O(n³)."""
+def _spd_kernel(A_ref, R_ref, X_ref):
+    """One batch tile, ZERO scratch: factor A in place (the input block is
+    consumed; its lower triangle, diagonal included, becomes L), then run
+    both substitutions in place in the output block.  The scratch-free
+    layout is what buys eligibility at Talos dimension — the previous
+    two-factor variant (separate L and U = Lᵀ buffers) cost 3n²+2nr
+    lane-words per tile and OOMed scoped VMEM at n=56 (16.3 MB); this one
+    is n²+2nr (~9.8 MB double-buffered at n=56, r=57).  The forward
+    substitution is column-oriented (saxpy) so ONLY columns of L are ever
+    read — no U copy needed for contiguous row access.  All loops are
+    ``fori_loop`` with dynamic sublane slices — the lowered op count is
+    O(n), not O(n³)."""
     n = A_ref.shape[0]
     W_ref = A_ref
-    Y_ref = R_ref
 
-    X_ref[:] = jnp.zeros_like(X_ref)
+    X_ref[:] = R_ref[:]
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
@@ -55,37 +57,42 @@ def _spd_kernel(A_ref, R_ref, X_ref, L_ref, U_ref):
         rd = 1.0 / jnp.sqrt(d)
         colk = W_ref[:, pl.ds(k, 1), :] * rd
         rowk = W_ref[pl.ds(k, 1), :, :] * rd
-        # store column k of L (i >= k) and row k of U = Lᵀ (j >= k)
-        L_ref[:, pl.ds(k, 1), :] = jnp.where(ii >= k, colk, 0.0)
-        U_ref[pl.ds(k, 1), :, :] = jnp.where(jj >= k, rowk, 0.0)
-        # trailing rank-1 update (strictly-lower mask on both axes)
+        # trailing rank-1 update (strictly-lower mask on both axes):
+        # touches only i>k, j>k, so column k and row k stay intact
         cm = jnp.where(ii > k, colk, 0.0)
         rm = jnp.where(jj > k, rowk, 0.0)
         W_ref[:] = W_ref[:] - cm * rm
+        # store column k of L (i >= k, zero above the diagonal) over the
+        # consumed column k of W; later steps only read the trailing block
+        W_ref[:, pl.ds(k, 1), :] = jnp.where(ii >= k, colk, 0.0)
         return 0
 
     jax.lax.fori_loop(0, n, chol_step, 0, unroll=True)
 
-    def fwd_step(i, _):
-        # row i of L = column i of U; entries j >= i of the masked row are
-        # zero below and Y[i] is read before being overwritten, so the
-        # in-place update is exact (mask j < i on the row)
-        lrow = jnp.where(ii < i, U_ref[:, pl.ds(i, 1), :], 0.0)
-        lii = U_ref[pl.ds(i, 1), pl.ds(i, 1), :]
-        ri = R_ref[pl.ds(i, 1), :, :]
-        s = jnp.sum(lrow * Y_ref[:], axis=0, keepdims=True)
-        Y_ref[pl.ds(i, 1), :, :] = (ri - s) / lii
+    def fwd_step(j, _):
+        # column-oriented forward solve L Y = R in place: scale row j,
+        # then saxpy column j of L against it (strict-lower mask leaves
+        # rows <= j untouched)
+        lcol = W_ref[:, pl.ds(j, 1), :]
+        ljj = W_ref[pl.ds(j, 1), pl.ds(j, 1), :]
+        yj = X_ref[pl.ds(j, 1), :, :] / ljj
+        X_ref[pl.ds(j, 1), :, :] = yj
+        cm = jnp.where(ii > j, lcol, 0.0)
+        X_ref[:] = X_ref[:] - cm * yj
         return 0
 
     jax.lax.fori_loop(0, n, fwd_step, 0, unroll=True)
 
     def bwd_step(t, _):
+        # row-oriented backward solve Lᵀ X = Y in place: rows > i already
+        # hold X, rows < i still hold Y but the strict-lower mask on
+        # column i of L zeroes their contribution
         i = n - 1 - t
-        lcol = L_ref[:, pl.ds(i, 1), :]
-        lii = L_ref[pl.ds(i, 1), pl.ds(i, 1), :]
-        yi = Y_ref[pl.ds(i, 1), :, :]
-        s = jnp.sum(lcol * X_ref[:], axis=0, keepdims=True)
-        X_ref[pl.ds(i, 1), :, :] = (yi - s) / lii
+        lcol = W_ref[:, pl.ds(i, 1), :]
+        lii = W_ref[pl.ds(i, 1), pl.ds(i, 1), :]
+        cm = jnp.where(ii > i, lcol, 0.0)
+        s = jnp.sum(cm * X_ref[:], axis=0, keepdims=True)
+        X_ref[pl.ds(i, 1), :, :] = (X_ref[pl.ds(i, 1), :, :] - s) / lii
         return 0
 
     jax.lax.fori_loop(0, n, bwd_step, 0, unroll=True)
@@ -124,9 +131,5 @@ def _solve_lane_major(Al, Rl, interpret=False):
         in_specs=[bspec(n), bspec(r)],
         out_specs=bspec(r),
         out_shape=jax.ShapeDtypeStruct((n, r, B), Al.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((n, n, LANES), Al.dtype),
-            pltpu.VMEM((n, n, LANES), Al.dtype),
-        ],
         interpret=interpret,
     )(Al, Rl)

@@ -56,8 +56,12 @@ def _spd_solve_dispatch(M, B):
     """SPD multi-RHS solve that, under an outer ``vmap`` (the batched-MPC
     execution model), routes the whole batch to the batch-on-lanes Pallas
     Cholesky kernel (``pallas_spd``) when eligible: TPU backend, fp32,
-    medium dims (n >= 12), batch a multiple of 128, exactly one batch
-    axis.  Unbatched (or ineligible) it is ``smallmat.solve_spd``.
+    medium dims (n >= 12), exactly one batch axis.  Batches that are
+    not a multiple of 128 are padded with identity systems (zero RHS) up
+    to the next lane-tile boundary — one 128-lane tile costs the same
+    for 16 live lanes as for 128, so e.g. the batch-16 Talos walk rides
+    the kernel at 1/8 lane occupancy rather than falling back.
+    Unbatched (or ineligible) it is ``smallmat.solve_spd``.
     Round-4 VERDICT item 4 (the medium-dim Schur-solve spike)."""
     return smallmat.solve_spd(M, B)
 
@@ -69,25 +73,36 @@ def _spd_solve_dispatch_rule(axis_size, in_batched, M, B):
     B_b = B if bb else jnp.broadcast_to(B[None], (axis_size,) + B.shape)
     n = M_b.shape[-1]
     r = B_b.shape[-1] if B_b.ndim == 3 else 0
-    # conservative per-tile VMEM estimate: 2 n² scratch factors + double-
-    # buffered in/out blocks (n² + 2nr), 128 lanes, fp32 — stay under
-    # ~12 MB of the 16 MB budget (n=56/r=57 measured 16.4 MB with the
-    # 4-scratch variant → scoped-vmem OOM; the in-place kernel + this cap
-    # keep headroom)
-    vmem_est = 4 * 128 * (2 * n * n + 2 * (n * n + 2 * n * r))
+    # conservative per-tile VMEM estimate for the scratch-free kernel:
+    # double-buffered in/out blocks only (n² + 2nr), 128 lanes, fp32 —
+    # stay under ~12 MB of the 16 MB budget. History: the 4-scratch
+    # variant measured 16.4 MB at n=56/r=57 (scoped-vmem OOM), the
+    # 2-scratch in-place one 13 MB (still over cap); storing L in the
+    # consumed A block + in-place substitution brings the same tile to
+    # ~9.8 MB, which is what makes the Talos-dim (ndx=56) Schur solve
+    # eligible.
+    vmem_est = 4 * 128 * 2 * (n * n + 2 * n * r)
     eligible = (
         jax.default_backend() == "tpu"
         and M_b.dtype == jnp.float32
         and M_b.ndim == 3
         and B_b.ndim == 3
         and n >= 12
-        and axis_size % 128 == 0
         and vmem_est < 12 * 1024 * 1024
     )
     if eligible:
         from . import pallas_spd
 
-        out = pallas_spd.spd_solve_lanes(M_b, B_b)
+        pad = (-axis_size) % 128
+        if pad:
+            eye = jnp.broadcast_to(jnp.eye(n, dtype=M_b.dtype), (pad, n, n))
+            M_p = jnp.concatenate([M_b, eye], axis=0)
+            B_p = jnp.concatenate(
+                [B_b, jnp.zeros((pad,) + B_b.shape[1:], B_b.dtype)], axis=0
+            )
+            out = pallas_spd.spd_solve_lanes(M_p, B_p)[:axis_size]
+        else:
+            out = pallas_spd.spd_solve_lanes(M_b, B_b)
     else:
         out = jax.vmap(smallmat.solve_spd)(M_b, B_b)
     return out, True
