@@ -25,6 +25,7 @@ from jax import lax
 from .._precision import highest_precision
 from .._pytree import pytree_dataclass, replace
 from ..core import problem as problem_mod
+from ..gar.riccati import _spd_solve_dispatch
 from ..core.problem import TrajOptProblem
 from ..utils import logger as logger_mod
 
@@ -157,11 +158,18 @@ def solve(
             Qxx = Lxx + FxV @ Fx_t
             Qxu = Lxu + FxV @ Fu_t
             Quu = Luu + FuV @ Fu_t + preg * jnp.eye(nu, dtype=dtype)
-            cQ = jax.scipy.linalg.cho_factor(
-                0.5 * (Quu + Quu.T), lower=True
+            # joint feedforward+feedback solve against ONE SPD multi-RHS
+            # traversal, routed through the batch-on-lanes Pallas kernel
+            # under an outer vmap (riccati._spd_solve_dispatch): unrolled
+            # Cholesky in-scan instead of LAPACK cho_factor/cho_solve,
+            # per the smallmat convention — and the batched-MPC execution
+            # model rides the same kernel that ProxDDP's reduced KKT does
+            sol = _spd_solve_dispatch(
+                0.5 * (Quu + Quu.T),
+                jnp.concatenate([Qu[:, None], Qxu.T], axis=1),
             )
-            kff = -jax.scipy.linalg.cho_solve(cQ, Qu)
-            Kfb = -jax.scipy.linalg.cho_solve(cQ, Qxu.T)
+            kff = -sol[:, 0]
+            Kfb = -sol[:, 1:]
             Vx_new = Qx + Kfb.T @ Qu
             Vxx_new = Qxx + Qxu @ Kfb
             Vxx_new = 0.5 * (Vxx_new + Vxx_new.T) + preg * jnp.eye(
