@@ -54,15 +54,17 @@ def create_ur5_problem(
         residual=frame_res, weights=100.0 * jnp.eye(3, dtype=dtype)
     )
 
-    constraints = [
-        (
-            core.ControlErrorResidual(target=jnp.zeros((nu,), dtype)),
-            core.BoxConstraint(
-                lower=-tau_bound * jnp.ones((nu,), dtype),
-                upper=tau_bound * jnp.ones((nu,), dtype),
-            ),
-        ),
-    ]
+    constraints = []
+    if tau_bound is not None:
+        constraints.append(
+            (
+                core.ControlErrorResidual(target=jnp.zeros((nu,), dtype)),
+                core.BoxConstraint(
+                    lower=-tau_bound * jnp.ones((nu,), dtype),
+                    upper=tau_bound * jnp.ones((nu,), dtype),
+                ),
+            )
+        )
     if table_height is not None:
         from aligator_tpu.core.functions import LinearFunctionComposition
 
