@@ -66,6 +66,57 @@ def _spd_solve_dispatch(M, B):
     return smallmat.solve_spd(M, B)
 
 
+def spd_lanes_eligible(axis_size, n, r, dtype, ndim_M=3, ndim_B=3,
+                       backend=None):
+    """Static eligibility of a batched SPD solve for the batch-on-lanes
+    Pallas kernel.  The VMEM bound is a conservative per-tile estimate for
+    the scratch-free kernel: double-buffered in/out blocks only (n² + 2nr),
+    128 lanes, fp32 — stay under ~12 MB of the 16 MB budget.  History: the
+    4-scratch variant measured 16.4 MB at n=56/r=57 (scoped-vmem OOM), the
+    2-scratch in-place one 13 MB (still over cap); storing L in the
+    consumed A block + in-place substitution brings the same tile to
+    ~9.8 MB, which is what makes the Talos-dim (ndx=56) Schur solve
+    eligible.  The ``axis_size >= 8`` floor keeps tiny live batches (which
+    would pay a full 128-lane tile + two concatenate copies) on the XLA
+    fallback — only batch ≥ 16 was measured as a win (round-4 ADVICE)."""
+    if backend is None:
+        backend = jax.default_backend()
+    vmem_est = 4 * 128 * 2 * (n * n + 2 * n * r)
+    return (
+        backend == "tpu"
+        and dtype == jnp.float32
+        and ndim_M == 3
+        and ndim_B == 3
+        and axis_size >= 8
+        and n >= 12
+        and vmem_est < 12 * 1024 * 1024
+    )
+
+
+def spd_solve_lanes_padded(M_b, B_b, interpret=False):
+    """Batched SPD solve through the lanes kernel with identity padding to
+    the next 128-lane tile boundary (one tile costs the same for 16 live
+    lanes as for 128, so e.g. the batch-16 Talos walk rides the kernel at
+    1/8 lane occupancy rather than falling back).  Padded systems are
+    identity matrices with zero RHS.  ``interpret`` runs the Pallas kernel
+    in interpret mode so the pad-concatenate-slice logic is testable on
+    CPU (round-4 ADVICE)."""
+    from . import pallas_spd
+
+    axis_size, n = M_b.shape[0], M_b.shape[-1]
+    pad = (-axis_size) % 128
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=M_b.dtype), (pad, n, n))
+        M_p = jnp.concatenate([M_b, eye], axis=0)
+        B_p = jnp.concatenate(
+            [B_b, jnp.zeros((pad,) + B_b.shape[1:], B_b.dtype)], axis=0
+        )
+        return pallas_spd.spd_solve_lanes(M_p, B_p, interpret=interpret)[
+            :axis_size
+        ]
+    return pallas_spd.spd_solve_lanes(M_b, B_b, interpret=interpret)
+
+
 @_spd_solve_dispatch.def_vmap
 def _spd_solve_dispatch_rule(axis_size, in_batched, M, B):
     mb, bb = in_batched
@@ -73,36 +124,8 @@ def _spd_solve_dispatch_rule(axis_size, in_batched, M, B):
     B_b = B if bb else jnp.broadcast_to(B[None], (axis_size,) + B.shape)
     n = M_b.shape[-1]
     r = B_b.shape[-1] if B_b.ndim == 3 else 0
-    # conservative per-tile VMEM estimate for the scratch-free kernel:
-    # double-buffered in/out blocks only (n² + 2nr), 128 lanes, fp32 —
-    # stay under ~12 MB of the 16 MB budget. History: the 4-scratch
-    # variant measured 16.4 MB at n=56/r=57 (scoped-vmem OOM), the
-    # 2-scratch in-place one 13 MB (still over cap); storing L in the
-    # consumed A block + in-place substitution brings the same tile to
-    # ~9.8 MB, which is what makes the Talos-dim (ndx=56) Schur solve
-    # eligible.
-    vmem_est = 4 * 128 * 2 * (n * n + 2 * n * r)
-    eligible = (
-        jax.default_backend() == "tpu"
-        and M_b.dtype == jnp.float32
-        and M_b.ndim == 3
-        and B_b.ndim == 3
-        and n >= 12
-        and vmem_est < 12 * 1024 * 1024
-    )
-    if eligible:
-        from . import pallas_spd
-
-        pad = (-axis_size) % 128
-        if pad:
-            eye = jnp.broadcast_to(jnp.eye(n, dtype=M_b.dtype), (pad, n, n))
-            M_p = jnp.concatenate([M_b, eye], axis=0)
-            B_p = jnp.concatenate(
-                [B_b, jnp.zeros((pad,) + B_b.shape[1:], B_b.dtype)], axis=0
-            )
-            out = pallas_spd.spd_solve_lanes(M_p, B_p)[:axis_size]
-        else:
-            out = pallas_spd.spd_solve_lanes(M_b, B_b)
+    if spd_lanes_eligible(axis_size, n, r, M_b.dtype, M_b.ndim, B_b.ndim):
+        out = spd_solve_lanes_padded(M_b, B_b)
     else:
         out = jax.vmap(smallmat.solve_spd)(M_b, B_b)
     return out, True

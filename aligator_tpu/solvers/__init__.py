@@ -1,8 +1,9 @@
 """solvers — trajectory-optimization algorithms (reference layer 4)."""
 
-from . import fddp, proxddp
+from . import fddp, proxddp, sensitivity
 from .fddp import FDDPConfig, FDDPResults
 from .proxddp import ProxDDPConfig, ProxDDPResults, solve
+from .sensitivity import solve_with_sensitivities, theta_sensitivities
 
 __all__ = [
     "ProxDDPConfig",
@@ -12,4 +13,7 @@ __all__ = [
     "FDDPResults",
     "fddp",
     "proxddp",
+    "sensitivity",
+    "theta_sensitivities",
+    "solve_with_sensitivities",
 ]

@@ -199,6 +199,14 @@ class ProxDDPResults:
     history_us: Optional[jax.Array] = None  # (max_iters, N, nu)
     history_vs: Optional[jax.Array] = None  # (max_iters, N, nc)
     history_lams: Optional[jax.Array] = None  # (max_iters, N+1, ndx)
+    # final AL penalty (needed to re-assemble the last LQ subproblem, e.g.
+    # for θ sensitivities — solvers/sensitivity.py)
+    mu_final: Optional[jax.Array] = None  # scalar
+    # value-function parameter sensitivities dV/dθ, d²V/dθ² — populated by
+    # solvers.theta_sensitivities / solve_with_sensitivities (reference
+    # RiccatiSolverBase::thGrad/thHess, gar/riccati-base.hpp:26-34)
+    th_grad: Optional[jax.Array] = None  # (nth,)
+    th_hess: Optional[jax.Array] = None  # (nth, nth)
 
 
 @pytree_dataclass
@@ -1165,4 +1173,5 @@ def solve(
         history_us=st.hist_us if cfg.record_history_trajs else None,
         history_vs=st.hist_vs if cfg.record_history_trajs else None,
         history_lams=st.hist_lams if cfg.record_history_trajs else None,
+        mu_final=st.mu,
     )

@@ -44,9 +44,20 @@ def main():
         )
         run = jax.jit(lambda p, cfg=cfg: solvers.solve(p, cfg))
         res = run(problem)  # compile + first solve
-        t0 = time.perf_counter()
-        float(run(problem).traj_cost)  # host readback blocks the dispatch
-        dt = time.perf_counter() - t0
+        # TPU timing rule (README): perturb inputs every repetition —
+        # identical-argument dispatches can be served from a cache on the
+        # tunneled backend — and block on a host readback each time.
+        dt = float("inf")
+        for i in range(1, 4):
+            p_i = jax.tree.map(
+                lambda a: a + jnp.float32(i * 1e-7)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                else a,
+                problem,
+            )
+            t0 = time.perf_counter()
+            float(run(p_i).traj_cost)  # host readback blocks the dispatch
+            dt = min(dt, time.perf_counter() - t0)
         row = {
             "rollout": rollout,
             "mu_init": mu0,

@@ -218,8 +218,194 @@ def profile(batch=16):
     print(json.dumps(out))
 
 
+def profile_onchip(batch=16):
+    """RTT-free per-phase profile (round-5 VERDICT item 1).
+
+    Each phase runs K repetitions inside ONE compiled ``lax.scan`` (inputs
+    perturbed per repetition so no dispatch can be served from a cache);
+    the reported per-call time is ``(t(K_hi) − t(K_lo)) / (K_hi − K_lo)``,
+    which cancels the tunnel RTT and all fixed dispatch overhead exactly.
+    Finer sub-phases decompose evaluate/derivatives into the contact-KKT
+    primal solve, the analytic RBD derivative pass, cost derivatives and
+    constraint Jacobians, so the saturating component is identified
+    on-chip (reference per-zone Tracy profile of ``bench/talos-walk.cpp``).
+    """
+    from aligator_tpu.core import problem as problem_mod
+    from aligator_tpu.gar import riccati
+
+    problem, model, sched = create_talos_walk_problem(
+        t_ds=4, t_ss=10, dtype=jnp.float32
+    )
+    cfg = solvers.ProxDDPConfig(
+        tol=1e-3, mu_init=1e-3, max_iters=4, max_al_iters=4,
+        rollout="linear", ls_max_steps=6, force_initial_condition=True,
+    )
+    N = problem.nsteps
+    nu = problem.nu
+    nq, nv = model.nq, model.nv
+    dtype = jnp.float32
+    x0 = problem.x0
+    d0 = 0.01 * jax.random.normal(
+        jax.random.PRNGKey(0), (batch, model.nv), dtype
+    )
+
+    def iterates(dvi):
+        x0i = x0.at[nq:].add(dvi)
+        xs = jnp.broadcast_to(x0i, (N + 1,) + x0i.shape)
+        us = jnp.zeros((N, nu), dtype)
+        return x0i, xs, us
+
+    stage0 = problem.stages  # stacked (N, ...) stage pytree
+
+    def per_stage(fn, dvi):
+        """vmap fn(stage, x, u) over the N stacked stages at the initial
+        iterate (the same evaluation pattern as problem.evaluate)."""
+        x0i, xs, us = iterates(dvi)
+        return jax.vmap(fn)(stage0, xs[:N], us)
+
+    def phase_eval(dvi):
+        x0i, xs, us = iterates(dvi)
+        data = problem_mod.evaluate(replace(problem, x0=x0i), xs, us)
+        return data.cost + data.cstr_vals.sum() + data.dyn_res.sum()
+
+    def phase_derivs(dvi):
+        x0i, xs, us = iterates(dvi)
+        data = problem_mod.compute_derivatives(
+            replace(problem, x0=x0i), xs, us
+        )
+        return data.Lx.sum() + data.A.sum() + data.cstr_Jx.sum()
+
+    # --- sub-phases ---
+    def phase_cfd(dvi):  # contact-KKT forward dynamics (the evaluate core)
+        out = per_stage(
+            lambda st, x, u: st.dynamics.forward(problem.space, x, u), dvi
+        )
+        return out.sum()
+
+    def phase_dyn_jac(dvi):  # analytic (A, B, E) assembly
+        outs = per_stage(
+            lambda st, x, u: st.dynamics.jacobians(
+                problem.space, x, u, problem.space.integrate(
+                    x, jnp.zeros((problem.space.ndx,), dtype))
+            ),
+            dvi,
+        )
+        return sum(o.sum() for o in outs)
+
+    def phase_cost_derivs(dvi):  # cost gradients + hessians
+        def f(st, x, u):
+            gx, gu = st.cost.gradients(problem.space, x, u)
+            Hxx, Hxu, Huu = st.cost.hessians(problem.space, x, u)
+            return gx.sum() + gu.sum() + Hxx.sum() + Hxu.sum() + Huu.sum()
+
+        return per_stage(f, dvi).sum()
+
+    def phase_cstr_jac(dvi):  # constraint jacobians (control box)
+        def f(st, x, u):
+            Jx, Ju = st.constraint_jacobians(x, u)
+            return Jx.sum() + Ju.sum()
+
+        return per_stage(f, dvi).sum()
+
+    def phase_lq(dvi):
+        # assemble outside? No — assembly is cheap (r4: 0.22 ms); keep the
+        # LQ phase downstream of a fresh assemble so perturbations flow.
+        from aligator_tpu.solvers import proxddp as P
+        import types
+
+        x0i, xs, us = iterates(dvi)
+        prob_i = replace(problem, x0=x0i)
+        data = problem_mod.compute_derivatives(prob_i, xs, us)
+        mu = jnp.asarray(cfg.mu_init, dtype)
+        st_like = types.SimpleNamespace(
+            mu=mu,
+            prev_lams=jnp.zeros((N + 1, problem.space.ndx), dtype),
+            prev_vs=jnp.zeros((N, problem.nc), dtype),
+            prev_vs_term=jnp.zeros((problem.nc_term,), dtype),
+        )
+        m = P._compute_multipliers(
+            prob_i, cfg, data, st_like,
+            st_like.prev_lams, st_like.prev_vs, st_like.prev_vs_term,
+        )
+        Lxs, Lus = P._lagrangian_grads(
+            prob_i, cfg, data, st_like.prev_lams, st_like.prev_vs,
+            st_like.prev_vs_term,
+        )
+        lq = P._assemble_lq(
+            prob_i, cfg, data, m, Lxs, Lus, jnp.asarray(1e-9, dtype), mu
+        )
+        f = riccati.backward(lq, cfg.dyn_al_scale * mu, mu, True)
+        xs_, us_, vs_, lams_ = riccati.forward(f)
+        return xs_.sum() + us_.sum()
+
+    def phase_full(dvi):
+        res = solvers.solve(replace(problem, x0=x0.at[nq:].add(dvi)), cfg)
+        return res.us.sum() + res.prim_infeas
+
+    def timed_onchip(fn, k_lo, k_hi, reps=3):
+        def batched(dvi_b):
+            return jax.vmap(fn)(dvi_b).sum()
+
+        def runner(K):
+            @jax.jit
+            def run(d):
+                def body(acc, i):
+                    return acc + batched(d + (1e-6 * i).astype(dtype)), None
+
+                acc, _ = jax.lax.scan(
+                    body, jnp.zeros((), dtype), jnp.arange(K, dtype=dtype)
+                )
+                return acc
+
+            return run
+
+        run_lo, run_hi = runner(k_lo), runner(k_hi)
+        float(run_lo(d0))  # compile
+        float(run_hi(d0))
+        t_lo = t_hi = float("inf")
+        for i in range(1, reps + 1):
+            dd = d0 + jnp.float32(i * 1e-7)
+            t0 = time.perf_counter()
+            float(run_lo(dd))
+            t_lo = min(t_lo, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(run_hi(dd))
+            t_hi = min(t_hi, time.perf_counter() - t0)
+        return (t_hi - t_lo) / (k_hi - k_lo)
+
+    phases = {}
+    for name, fn, klo, khi in [
+        ("evaluate_ms", phase_eval, 1, 9),
+        ("derivatives_ms", phase_derivs, 1, 9),
+        ("cfd_forward_ms", phase_cfd, 1, 9),
+        ("dyn_jacobians_ms", phase_dyn_jac, 1, 9),
+        ("cost_derivs_ms", phase_cost_derivs, 1, 9),
+        ("cstr_jac_ms", phase_cstr_jac, 1, 9),
+        ("lq_after_derivs_ms", phase_lq, 1, 5),
+        ("full_solve_ms", phase_full, 1, 3),
+    ]:
+        phases[name] = timed_onchip(fn, klo, khi)
+        print(f"# {name}: {phases[name] * 1e3:.2f}", flush=True)
+    phases["lq_solve_ms"] = (
+        phases["lq_after_derivs_ms"] - phases["derivatives_ms"]
+    )
+    out = {
+        "metric": "talos_walk_phase_profile_onchip",
+        "unit": "ms/batch-call",
+        "batch": batch,
+        "nsteps": N,
+        "ndx": problem.space.ndx,
+        **{k: round(v * 1e3, 3) for k, v in phases.items()},
+    }
+    print(json.dumps(out))
+    return out
+
+
 if __name__ == "__main__":
-    if "--profile" in sys.argv:
+    if "--onchip" in sys.argv:
+        sys.argv.remove("--onchip")
+        profile_onchip(int(sys.argv[1]) if len(sys.argv) > 1 else 16)
+    elif "--profile" in sys.argv:
         sys.argv.remove("--profile")
         profile(int(sys.argv[1]) if len(sys.argv) > 1 else 16)
     else:

