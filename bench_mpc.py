@@ -128,6 +128,62 @@ def main():
         "unit": "scenario-cycles/s", "batch": batch, "n_cycles": n_cycles,
     }))
 
+    # --- humanoid-dims cycle (round-5 VERDICT item 9: the 3.2 ms number
+    # was SE2-only; reference tests/mpc-cycle.cpp:136 runs the cycle at
+    # whole-body dims) — nx=36 / nu=12 / N=100, warm-started, batched ---
+    from bench import make_humanoid_dims_problem
+
+    hproblem = make_humanoid_dims_problem(nsteps=100, dtype=dtype)
+    hcold = solvers.solve(hproblem, cfg_cold)
+    hrun = jax.jit(make_mpc_scan(hproblem, cfg_warm, n_cycles))
+    xf, *_ , hprims, _hd = hrun(hproblem.x0, hcold.xs, hcold.us)
+    float(xf[0])
+    ts = []
+    for i in range(1, 4):
+        x0p = hproblem.x0 + jnp.asarray(i * 1e-5, dtype)
+        t0 = time.perf_counter()
+        xf, *_ = hrun(x0p, hcold.xs, hcold.us)
+        float(xf[0])
+        ts.append(time.perf_counter() - t0)
+    hlat_ms = min(ts) / n_cycles * 1e3
+    print(json.dumps({
+        "metric": "mpc_cycle_latency_humanoid_ms",
+        "value": round(hlat_ms, 3),
+        "unit": "ms/cycle", "n_cycles": n_cycles, "nx": 36, "nsteps": 100,
+        "frac_cycles_prim_ok": round(float(
+            jnp.mean((hprims <= cfg_warm.tol).astype(jnp.float32))
+        ), 3),
+    }))
+
+    hbatch = 128
+    hx0s = hproblem.x0 + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(5), (hbatch, hproblem.x0.shape[0]), dtype
+    )
+
+    @jax.jit
+    def hcold_batch(x0s_):
+        return jax.vmap(
+            lambda x0: solvers.solve(replace(hproblem, x0=x0), cfg_cold)
+        )(x0s_)
+
+    hcold_b = hcold_batch(hx0s)
+    hrun_b = jax.jit(jax.vmap(make_mpc_scan(hproblem, cfg_batch, n_cycles)))
+    out = hrun_b(hx0s, hcold_b.xs, hcold_b.us)
+    float(out[0].sum())
+    ts = []
+    for i in range(1, 4):
+        x0p = hx0s + jnp.asarray(i * 1e-5, dtype)
+        t0 = time.perf_counter()
+        out = hrun_b(x0p, hcold_b.xs, hcold_b.us)
+        float(out[0].sum())
+        ts.append(time.perf_counter() - t0)
+    hcps = hbatch * n_cycles / min(ts)
+    print(json.dumps({
+        "metric": "mpc_batch_cycles_per_sec_humanoid",
+        "value": round(hcps, 1),
+        "unit": "scenario-cycles/s", "batch": hbatch, "n_cycles": n_cycles,
+    }))
+
 
 if __name__ == "__main__":
     main()

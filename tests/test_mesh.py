@@ -96,3 +96,52 @@ def test_proxddp_sharded_solve():
     out = mesh_mod.batched_solve(one, x0s, mesh=m)
     ref = jax.vmap(one)(x0s)
     assert jnp.allclose(out, ref, atol=1e-8)
+
+
+def test_shard_map_legs_matches_serial_and_collectives():
+    """shard_map parallel-in-time legs (round-5 VERDICT item 6):
+
+    1. correctness — ``gar.parallel.solve_sharded`` on the 8-device mesh
+       equals the serial sweep;
+    2. comm pattern — the compiled HLO contains EXACTLY ONE all-gather
+       whose payload matches the comm audit's interface count
+       (4·nx² + 2·nx floats per leg) and no other collectives; a silent
+       XLA repartition would break this assertion (the weakness of the
+       hint-based ``with_sharding_constraint`` path)."""
+    import re
+
+    from jax.sharding import Mesh
+    import numpy as np
+
+    from aligator_tpu.gar import parallel as gar_parallel
+    from aligator_tpu.gar import riccati
+
+    T, nx, nu = 32, 6, 3  # T divisible by 8 legs
+    prob = gar.random_convex_problem(
+        jax.random.PRNGKey(7), T - 1, nx, nu, 0, dtype=jnp.float64
+    )
+    mesh = Mesh(np.array(jax.devices()), axis_names=("t",))
+
+    fn = lambda p: gar_parallel.solve_sharded(  # noqa: E731
+        p, 1e-3, 1e-3, mesh=mesh, axis_name="t", assume_explicit=True
+    )
+    xs, us, vs, lams = fn(prob)
+    xr, ur, vr, lr = riccati.solve(prob, 1e-3, 1e-3, True)
+    assert jnp.allclose(xs, xr, atol=1e-8)
+    assert jnp.allclose(us, ur, atol=1e-8)
+    assert jnp.allclose(lams, lr, atol=1e-8)
+
+    hlo = jax.jit(fn).lower(prob).compile().as_text()
+    # collective census: one all-gather, nothing else
+    n_ag = len(re.findall(r"all-gather(?:-start)?\(", hlo))
+    assert n_ag == 1, f"expected exactly 1 all-gather, found {n_ag}"
+    assert "all-reduce" not in hlo
+    assert "collective-permute" not in hlo
+    assert "reduce-scatter" not in hlo
+    assert "all-to-all" not in hlo
+    # payload size: 4*nx^2 + 2*nx floats per leg, gathered over 8 legs
+    payload = 4 * nx * nx + 2 * nx
+    pat = rf"all-gather(?:-start)?\([^)]*f64\[8,{payload}\]|f64\[8,{payload}\][^\n]*all-gather"
+    assert re.search(pat, hlo), (
+        f"all-gather payload f64[8,{payload}] not found in HLO"
+    )
