@@ -117,18 +117,65 @@ def spd_solve_lanes_padded(M_b, B_b, interpret=False):
     return pallas_spd.spd_solve_lanes(M_b, B_b, interpret=interpret)
 
 
+@jax.custom_batching.custom_vmap
+def _spd_solve_flat(M, B):
+    """Batched SPD solve over ONE collapsed leading axis (K, n, n) /
+    (K, n, r).  Under FURTHER vmaps the rule below folds the new axis into
+    the leading one and recurses, so arbitrarily nested vmaps (e.g. the
+    scenario × stage nesting of the batched whole-body derivative pass)
+    collapse to a single flat batch — which is what makes the batch-on-
+    lanes kernel eligibility decision see the TOTAL live batch instead of
+    the innermost axis only."""
+    axis_size, n = M.shape[0], M.shape[-1]
+    r = B.shape[-1] if B.ndim == 3 else 0
+    if spd_lanes_eligible(axis_size, n, r, M.dtype, M.ndim, B.ndim):
+        return spd_solve_lanes_padded(M, B)
+    return jax.vmap(smallmat.solve_spd)(M, B)
+
+
+@_spd_solve_flat.def_vmap
+def _spd_solve_flat_rule(axis_size, in_batched, M, B):
+    mb, bb = in_batched
+    M_b = M if mb else jnp.broadcast_to(M[None], (axis_size,) + M.shape)
+    B_b = B if bb else jnp.broadcast_to(B[None], (axis_size,) + B.shape)
+    out = _spd_solve_flat(
+        M_b.reshape((-1,) + M_b.shape[2:]),
+        B_b.reshape((-1,) + B_b.shape[2:]),
+    )
+    return out.reshape((axis_size, -1) + out.shape[1:]), True
+
+
 @_spd_solve_dispatch.def_vmap
 def _spd_solve_dispatch_rule(axis_size, in_batched, M, B):
     mb, bb = in_batched
     M_b = M if mb else jnp.broadcast_to(M[None], (axis_size,) + M.shape)
     B_b = B if bb else jnp.broadcast_to(B[None], (axis_size,) + B.shape)
-    n = M_b.shape[-1]
-    r = B_b.shape[-1] if B_b.ndim == 3 else 0
-    if spd_lanes_eligible(axis_size, n, r, M_b.dtype, M_b.ndim, B_b.ndim):
-        out = spd_solve_lanes_padded(M_b, B_b)
-    else:
-        out = jax.vmap(smallmat.solve_spd)(M_b, B_b)
-    return out, True
+    return _spd_solve_flat(M_b, B_b), True
+
+
+def spd_solve_dispatch(M, B):
+    """Differentiable batched-SPD-solve dispatch.
+
+    ``custom_vmap`` (the kernel-routing layer, :func:`_spd_solve_dispatch`)
+    does not support autodiff, but callers like the contact-dynamics KKT
+    (``modelling/multibody/contact.py``) must stay differentiable in BOTH
+    modes (loop constraints and model-parameter tangents differentiate
+    straight through the solve; the solver's GN assembly uses jacfwd, the
+    test oracles use jacrev).  ``lax.custom_linear_solve`` provides the
+    implicit-function JVP *and* the transpose rule (symmetric system ⇒
+    the transpose solve is the same solve), with every inner solve riding
+    the same dispatch — and therefore the same Pallas kernel when
+    eligible."""
+
+    def mv(x):
+        if x.ndim == M.ndim:  # matrix RHS
+            return M @ x
+        return (M @ x[..., None])[..., 0]
+
+    return lax.custom_linear_solve(
+        mv, B, solve=lambda _, b: _spd_solve_dispatch(M, b),
+        symmetric=True,
+    )
 
 
 @pytree_dataclass

@@ -75,6 +75,62 @@ def _drift(model, q, v, frame_id, dim):
     return jax.jvp(vel_of_dq, (z,), (v,))[1]
 
 
+# ---------------------------------------------------------------------------
+# body-body (loop-closure) constraints — the grasp/RigidConstraintModel
+# case between two JOINTS rather than joint-vs-world (reference: Pinocchio
+# RigidConstraintModel with joint2_id != 0, as built by
+# /root/reference/examples/ur10_ballistic.py:131-165 create_rcm)
+# ---------------------------------------------------------------------------
+
+
+def relative_velocity_lwa(model, q, v, f1, f2, dim, kin=None):
+    """Relative LOCAL_WORLD_ALIGNED velocity of frame ``f1`` w.r.t. ``f2``,
+    linear part evaluated at f1's origin (the constraint anchor point):
+    (v₁(p₁) − v₂(p₁)[, ω₁ − ω₂])."""
+    if kin is None:
+        kin = rbd.kinematics(model, q, v)
+    _, p1 = rbd.frame_placement(model, q, f1, kin=kin)
+    V1 = kin["V"][model.frame_parents[f1]]
+    V2 = kin["V"][model.frame_parents[f2]]
+    lin = (V1[:3] + jnp.cross(V1[3:], p1)) - (V2[:3] + jnp.cross(V2[3:], p1))
+    if dim == 3:
+        return lin
+    return jnp.concatenate([lin, V1[3:] - V2[3:]])
+
+
+def relative_jacobian_lwa(model, q, f1, f2, dim, kin=None):
+    """(dim × nv) Jacobian of :func:`relative_velocity_lwa` w.r.t. v —
+    the loop-closure constraint Jacobian J = J₁(p₁) − J₂(p₁)."""
+    if kin is None:
+        kin = rbd.kinematics(model, q)
+    _, p1 = rbd.frame_placement(model, q, f1, kin=kin)
+    Phi, A = kin["Phi"], kin["A"]
+
+    def body_jac_at(par):
+        mask = A[par][:, None]
+        lin = (Phi[:, :3] + jnp.cross(Phi[:, 3:], p1[None, :])) * mask
+        ang = Phi[:, 3:] * mask
+        return jnp.concatenate([lin.T, ang.T], axis=0)  # (6, nv)
+
+    J = body_jac_at(model.frame_parents[f1]) - body_jac_at(
+        model.frame_parents[f2]
+    )
+    return J[:dim]
+
+
+def _rel_drift(model, q, v, f1, f2, dim):
+    """Acceleration drift of the loop constraint: d/dt(J_rel v) at zero
+    joint acceleration."""
+    cspace = model.configuration_space()
+
+    def vel_of_dq(dq):
+        qq = cspace.integrate(q, dq)
+        return relative_velocity_lwa(model, qq, v, f1, f2, dim)
+
+    z = jnp.zeros((model.nv,), q.dtype)
+    return jax.jvp(vel_of_dq, (z,), (v,))[1]
+
+
 def contact_drift(model, q, v, frame_id):
     return _drift(model, q, v, frame_id, 3)
 
@@ -92,15 +148,24 @@ def _cfd_internals(
     kd=0.0,
     p_refs=None,
     contact_dims=None,
+    contact_frames2=None,
 ):
     """Primal constrained-dynamics solve returning the internals needed by
     the analytic derivative pass (``derivatives.py``): the factorized mass
     matrix and Delassus solvers, the masked contact Jacobian, and the
-    kinematics pass."""
+    kinematics pass.
+
+    ``contact_frames2``: optional per-contact second frame (int, or None
+    for a world contact).  An entry with a second frame is a body-body
+    LOOP constraint — relative velocity of frame1 w.r.t. frame2 pinned to
+    zero (the grasp / Pinocchio ``RigidConstraintModel`` joint2 ≠ world
+    case, reference ``examples/ur10_ballistic.py:131-165``)."""
     dtype = q.dtype
     nv = model.nv
     if contact_dims is None:
         contact_dims = (3,) * len(contact_frames)
+    if contact_frames2 is None:
+        contact_frames2 = (None,) * len(contact_frames)
 
     M = rbd.mass_matrix(model, q)
     b = rbd.rnea(model, q, v, jnp.zeros((nv,), dtype))
@@ -110,6 +175,27 @@ def _cfd_internals(
     Js, gammas, act_rows = [], [], []
     for k, fid in enumerate(contact_frames):
         dim = contact_dims[k]
+        f2 = contact_frames2[k]
+        if f2 is not None:
+            # loop constraint: relative velocity of fid w.r.t. f2
+            J = relative_jacobian_lwa(model, q, fid, f2, dim, kin=kin)
+            g = _rel_drift(model, q, v, fid, f2, dim)
+            vrel = relative_velocity_lwa(model, q, v, fid, f2, dim, kin=kin)
+            corr = kd * vrel
+            if p_refs is not None:
+                _, p1 = rbd.frame_placement(model, q, fid, kin=kin)
+                _, p2 = rbd.frame_placement(model, q, f2, kin=kin)
+                perr = p1 - p2 - p_refs[k]
+                if dim == 3:
+                    corr = corr + kp * perr
+                else:
+                    corr = corr + kp * jnp.concatenate(
+                        [perr, jnp.zeros(3, dtype)]
+                    )
+            Js.append(J)
+            gammas.append(g + corr)
+            act_rows.append(jnp.full((dim,), active[k], dtype))
+            continue
         J6 = rbd.frame_jacobian_lwa(model, q, fid, kin=kin)
         J = J6[:dim]
         g = _drift(model, q, v, fid, dim)
@@ -137,9 +223,15 @@ def _cfd_internals(
     Jc = Jc * act[:, None]
     gamma = gamma * act
 
-    solve_M = smallmat.spd_solver(M)  # blocked Cholesky (gar/smallmat.py)
-    MinvJt = solve_M(Jc.T)  # (nv, Σdims)
-    a_free = solve_M(free)
+    # merged multi-RHS mass solve [Jc', free] — one factorization and one
+    # triangular traversal (the lanes-SPD dispatch was measured SLOWER here:
+    # r = nc+1 ≈ 13 columns is too narrow to amortize the kernel's
+    # refactorization — cfd_forward 2.04 → 3.07 ms at Talos batch 16; the
+    # dispatch stays on the 3nv-column derivative solves where it wins)
+    solve_M = smallmat.spd_solver(M)
+    Y = solve_M(jnp.concatenate([Jc.T, free[:, None]], axis=1))
+    MinvJt = Y[:, :-1]  # (nv, Σdims)
+    a_free = Y[:, -1]
 
     # Delassus operator with prox regularization; inactive rows reduce to
     # μ·λ = 0 → λ = 0. The Delassus matrix is structurally rank-deficient
@@ -171,6 +263,8 @@ def _cfd_internals(
         "solve_G": solve_G,
         "MinvJt": MinvJt,
         "mu_eff": mu_eff,
+        "M": M,
+        "G": G,
     }
 
 
@@ -186,10 +280,13 @@ def constrained_fwd_dynamics(
     kd=0.0,
     p_refs=None,
     contact_dims=None,
+    contact_frames2=None,
 ):
     """Forward dynamics under active 3D/6D contacts.
 
     ``contact_dims``: static tuple of 3 or 6 per contact (default all-3).
+    ``contact_frames2``: optional per-contact second frame — body-body
+    loop constraints (grasps); see :func:`_cfd_internals`.
     Returns ``(a, forces)`` with forces the flat (Σdims,) contact-force
     vector in world-aligned coordinates (zero entries for inactive
     contacts); slice per contact with ``contact_offsets``.
@@ -198,14 +295,18 @@ def constrained_fwd_dynamics(
     world-frame einsum RNEA derivatives + KKT-factorization reuse,
     replacing the reference's ``computeConstraintDynamicsDerivatives``
     role, ``multibody-constraint-fwd.hxx:60``); autodiff falls back
-    automatically when model parameters / activity flags carry tangents or
-    when ``prox_mu``/``kp``/``kd`` are traced values.
+    automatically when model parameters / activity flags carry tangents,
+    when ``prox_mu``/``kp``/``kd`` are traced values, or for loop
+    constraints (exact JAX autodiff through the KKT solve).
     """
     if contact_dims is not None:
         contact_dims = tuple(contact_dims)
+    has_loop = contact_frames2 is not None and any(
+        f2 is not None for f2 in contact_frames2
+    )
     static_ok = all(
         isinstance(val, (int, float)) for val in (prox_mu, kp, kd)
-    )
+    ) and not has_loop
     if static_ok:
         from .derivatives import cfd_custom
 
@@ -224,7 +325,7 @@ def constrained_fwd_dynamics(
     out = _cfd_internals(
         model, q, v, tau, contact_frames, active,
         prox_mu=prox_mu, kp=kp, kd=kd, p_refs=p_refs,
-        contact_dims=contact_dims,
+        contact_dims=contact_dims, contact_frames2=contact_frames2,
     )
     return out["a"], -out["lam"]
 
@@ -235,7 +336,8 @@ def contact_offsets(contact_dims):
 
 
 def underactuated_constrained_rnea(
-    model, q, v, act_matrix, contact_frames, contact_dims=None
+    model, q, v, act_matrix, contact_frames, contact_dims=None,
+    contact_frames2=None,
 ):
     """Static inverse dynamics under contacts for an underactuated robot.
 
@@ -252,14 +354,18 @@ def underactuated_constrained_rnea(
     dtype = q.dtype
     if contact_dims is None:
         contact_dims = (3,) * len(contact_frames)
+    if contact_frames2 is None:
+        contact_frames2 = (None,) * len(contact_frames)
     nu = act_matrix.shape[1]
 
     nle = rbd.rnea(model, q, v, jnp.zeros((model.nv,), dtype))
 
     kin = rbd.kinematics(model, q, v)
     Js = [
-        rbd.frame_jacobian_lwa(model, q, fid, kin=kin)[:dim]
-        for fid, dim in zip(contact_frames, contact_dims)
+        relative_jacobian_lwa(model, q, fid, f2, dim, kin=kin)
+        if f2 is not None
+        else rbd.frame_jacobian_lwa(model, q, fid, kin=kin)[:dim]
+        for fid, f2, dim in zip(contact_frames, contact_frames2, contact_dims)
     ]
     Jc = jnp.concatenate(Js, axis=0)  # (Σdims, nv)
 
@@ -287,6 +393,9 @@ class MultibodyConstraintFwdDynamics(ODE):
     contact_dims: tuple = static_field(default=None)
     prox_mu: float = static_field(default=1e-8)
     kd: float = static_field(default=1e-2)
+    # per-contact second frame for body-body loop constraints (grasps);
+    # None = all world contacts
+    contact_frames2: tuple = static_field(default=None)
 
     def xdot(self, space, x, u):
         nq = self.model.nq
@@ -302,18 +411,46 @@ class MultibodyConstraintFwdDynamics(ODE):
             prox_mu=self.prox_mu,
             kd=self.kd,
             contact_dims=self.contact_dims,
+            contact_frames2=self.contact_frames2,
         )
         return jnp.concatenate([v, a], axis=-1)
 
     def acc_derivatives(self, space, x, u):
         """Analytic (a, ∂a/∂dq, ∂a/∂dv, ∂a/∂u) via the constrained-KKT
         derivative pass — the direct-assembly protocol consumed by
-        ``IntegratorSemiImplEuler.jacobians``."""
-        from .derivatives import constrained_fd_derivatives
-
+        ``IntegratorSemiImplEuler.jacobians``.  Loop (body-body) contacts
+        use exact autodiff tangents through the KKT solve instead (the
+        analytic point-derivative rows assume a world-fixed anchor)."""
         nq = self.model.nq
         q, v = x[..., :nq], x[..., nq:]
         tau = self.actuation @ u
+        has_loop = self.contact_frames2 is not None and any(
+            f2 is not None for f2 in self.contact_frames2
+        )
+        if has_loop:
+            cspace = self.model.configuration_space()
+            dt = jnp.result_type(x)
+
+            def acc_of(dq, dv, du):
+                out = _cfd_internals(
+                    self.model, cspace.integrate(q, dq), v + dv,
+                    self.actuation @ (u + du), self.contact_frames,
+                    self.active, prox_mu=self.prox_mu, kd=self.kd,
+                    contact_dims=self.contact_dims,
+                    contact_frames2=self.contact_frames2,
+                )
+                return out["a"]
+
+            zq = jnp.zeros((self.model.nv,), dt)
+            zu = jnp.zeros_like(u)
+            a = acc_of(zq, zq, zu)
+            da_dq, da_dv, da_du = jax.jacfwd(acc_of, argnums=(0, 1, 2))(
+                zq, zq, zu
+            )
+            return a, da_dq, da_dv, da_du
+
+        from .derivatives import constrained_fd_derivatives
+
         (a, _f, da_dq, da_dv, da_dt, *_rest) = constrained_fd_derivatives(
             self.model, q, v, tau, self.contact_frames, self.active,
             prox_mu=self.prox_mu, kd=self.kd,

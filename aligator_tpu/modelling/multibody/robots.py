@@ -460,3 +460,49 @@ def make_free_sphere(mass=1.0, radius=0.2) -> RobotModel:
     ]
     frames = [dict(name="center", parent=0)]
     return make_model(joints, frames)
+
+
+def make_ur10_with_payload(mass=0.5, radius=0.05, height=0.12) -> RobotModel:
+    """UR10 arm + a free-flying cylindrical payload ("mug") as ONE model —
+    a forest with two roots (the arm base and the payload free-flyer).
+
+    Role of the reference ``examples/ur10_ballistic.py``'s composite model
+    (``append_ball_to_robot_model``: ``pin.appendModel`` of the arm and a
+    free-flyer mug URDF, ur10_ballistic.py:66-105).  The grasp is a 6D
+    body-body loop constraint between the ``ee`` frame and the ``mug``
+    frame (``contact.py`` ``contact_frames2``); release = deactivating the
+    constraint through the stage-stacked ``active`` schedule — the
+    framework's shape-static answer to the reference's two dynamics
+    objects.
+
+    The payload is a solid cylinder (axis z): Izz = m r²/2,
+    Ixx = Iyy = m (3r² + h²)/12.
+    """
+    base = make_ur10()
+    Ixx = mass * (3 * radius**2 + height**2) / 12.0
+    Izz = mass * radius**2 / 2.0
+    joints = [
+        dict(
+            type=base.joint_types[i], parent=base.parents[i],
+            placement_p=base.jplac_p[i], placement_q=base.jplac_q[i],
+            axis=base.axes[i], mass=base.mass[i], com=base.com[i],
+            inertia=base.inertia[i],
+        )
+        for i in range(len(base.joint_types))
+    ]
+    joints.append(
+        dict(
+            type=FREEFLYER, parent=-1,
+            mass=mass, com=jnp.zeros(3),
+            inertia=jnp.diag(jnp.array([Ixx, Ixx, Izz])),
+        )
+    )
+    frames = [
+        dict(
+            name=base.frame_names[i], parent=base.frame_parents[i],
+            placement_p=base.fplac_p[i], placement_q=base.fplac_q[i],
+        )
+        for i in range(len(base.frame_names))
+    ]
+    frames.append(dict(name="mug", parent=len(joints) - 1))
+    return make_model(joints, frames)

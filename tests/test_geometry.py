@@ -153,3 +153,92 @@ def test_frame_sphere_sphere_self_collision_fd():
     Jx, _ = res.jacobians(space, x, u)
     Jx_fd, _ = fd_stage_function_jacobians(res, space, x, u)
     assert jnp.allclose(Jx, Jx_fd, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# convex support-function distances (round-5 VERDICT item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_convex_distance_sphere_sphere():
+    """Frank-Wolfe support distance matches the closed form for spheres."""
+    c1, r1 = jnp.array([0.0, 0.0, 0.0]), 0.5
+    c2, r2 = jnp.array([3.0, 1.0, -2.0]), 0.7
+    d, x = geo.convex_distance(
+        lambda dd: geo.support_sphere(c1, r1, dd),
+        lambda dd: geo.support_sphere(c2, r2, dd),
+        iters=40,
+    )
+    exact = float(jnp.linalg.norm(c1 - c2)) - (r1 + r2)
+    assert float(d) == pytest.approx(exact, abs=1e-4)
+
+
+def test_convex_distance_hull_point():
+    """Hull (cube vertices) vs a point: matches the box SDF outside."""
+    h = jnp.array([1.0, 1.0, 1.0])
+    corners = jnp.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        jnp.float64,
+    )
+    p = jnp.array([3.0, 0.2, -0.3])
+    d, _ = geo.convex_distance(
+        lambda dd: geo.support_hull(corners, dd),
+        lambda dd: p,
+        iters=40,
+    )
+    exact = geo.point_box_distance(p, jnp.zeros(3), jnp.eye(3), h)
+    assert float(d) == pytest.approx(float(exact), abs=1e-3)
+
+
+def test_capsule_box_distance_cases():
+    center, rot = jnp.zeros(3), jnp.eye(3)
+    h = jnp.array([1.0, 1.0, 1.0])
+    # capsule above the box, vertical: separation = gap - radius
+    a, b = jnp.array([0.0, 0.0, 2.0]), jnp.array([0.0, 0.0, 4.0])
+    d = geo.capsule_box_distance(a, b, 0.25, center, rot, h, iters=40)
+    assert float(d) == pytest.approx(1.0 - 0.25, abs=1e-3)
+    # diagonal offset: closest to the corner
+    a2 = jnp.array([2.0, 2.0, 2.0])
+    b2 = jnp.array([3.0, 3.0, 3.0])
+    d2 = geo.capsule_box_distance(a2, b2, 0.0, center, rot, h, iters=60)
+    assert float(d2) == pytest.approx(float(jnp.sqrt(3.0)), abs=5e-3)
+    # overlapping: converges to ~0 (no penetration depth, GJK-like)
+    d3 = geo.capsule_box_distance(
+        jnp.zeros(3), jnp.array([0.2, 0.0, 0.0]), 0.1, center, rot, h,
+        iters=40,
+    )
+    assert float(d3) <= 0.0 + 1e-6
+
+
+def test_convex_distance_cylinder_halfspace_and_grad():
+    """Cylinder support + hull-halfspace closed form; gradients flow."""
+    rot = jnp.eye(3)
+    d, _ = geo.convex_distance(
+        lambda dd: geo.support_cylinder(
+            jnp.array([0.0, 0.0, 2.0]), rot, 0.5, 1.0, dd
+        ),
+        lambda dd: geo.support_box(
+            jnp.zeros(3), rot, jnp.array([5.0, 5.0, 0.1]), dd
+        ),
+        iters=40,
+    )
+    assert float(d) == pytest.approx(2.0 - 1.0 - 0.1, abs=1e-3)
+
+    verts = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 3.0], [1.0, 0.0, 2.0]])
+    n = jnp.array([0.0, 0.0, 1.0])
+    assert float(geo.hull_halfspace_distance(verts, n, 0.25)) == pytest.approx(
+        0.75
+    )
+
+    def f(c):
+        dd, _ = geo.convex_distance(
+            lambda u: geo.support_sphere(c, 0.3, u),
+            lambda u: geo.support_box(
+                jnp.zeros(3), jnp.eye(3), jnp.ones(3), u
+            ),
+            iters=24,
+        )
+        return dd
+
+    g = jax.grad(f)(jnp.array([4.0, 0.0, 0.0]))
+    assert float(g[0]) == pytest.approx(1.0, abs=1e-3)  # moving away along x
