@@ -294,6 +294,19 @@ def main():
 
     lqr_rates = lqr_run_both(batch=256)
 
+    # single-scenario LQ latency, serial vs associative O(log N), one
+    # representative long-horizon config (round-5 VERDICT item 2; the
+    # full sweep lives in bench_latency.py — measured r5: assoc wins
+    # 8.4-10.9x at N >= 512)
+    from bench_latency import assoc_solve, chained_latency, serial_solve
+    from aligator_tpu import gar as _gar
+
+    lat_prob = _gar.random_convex_problem(
+        jax.random.PRNGKey(2052), 2048, 4, 2, 0, dtype=jnp.float32
+    )
+    lat_serial = chained_latency(serial_solve, lat_prob, k_lo=1, k_hi=3)
+    lat_assoc = chained_latency(assoc_solve, lat_prob, k_lo=1, k_hi=3)
+
     out = {
         "metric": "se2car_solves_per_sec",
         "value": round(solves_per_sec, 2),
@@ -306,6 +319,9 @@ def main():
         "gar_fused_min_traffic_gbps": round(lq["fused_min_traffic_gbps"], 1),
         "lqr56_proxddp_solves_per_sec": round(lqr_rates["proxddp"], 1),
         "lqr56_fddp_solves_per_sec": round(lqr_rates["fddp"], 1),
+        "lq_latency_serial_N2048_ms": round(lat_serial * 1e3, 3),
+        "lq_latency_assoc_N2048_ms": round(lat_assoc * 1e3, 3),
+        "lq_latency_assoc_speedup": round(lat_serial / lat_assoc, 2),
     }
     print(json.dumps(out))
 

@@ -94,3 +94,80 @@ def test_quadruped_4x3d_rows_match():
     feet = tuple(model.frame_id(f"foot{k}") for k in range(4))
     q0 = standing_configuration(model)
     _run_case(model, q0, feet, (3, 3, 3, 3), kd=10.0)
+
+
+@pytest.mark.slow
+def test_kernel_dispatch_inside_vmapped_solver():
+    """The consts-free dispatch must survive its production position —
+    inside a vmapped ``lax.while_loop`` solver (a custom_vmap with array
+    consts trips JAX's consts_batched assertion there; measured during
+    round 5). Runs the forced-kernel path (interpret mode) and the std
+    path in subprocesses on a tiny contact problem and compares."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    code = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from aligator_tpu import core, solvers
+from aligator_tpu._pytree import replace
+from aligator_tpu.modelling import IntegratorSemiImplEuler
+from aligator_tpu.modelling.multibody.contact import (
+    MultibodyConstraintFwdDynamics,
+)
+from aligator_tpu.modelling.multibody.robots import make_ur5
+
+model = make_ur5()
+space = model.phase_space()
+nv, nu = model.nv, model.nv
+ee = model.frame_id("ee")
+ode = MultibodyConstraintFwdDynamics(
+    model=model, actuation=jnp.eye(nv, dtype=jnp.float32),
+    active=jnp.ones((1,), jnp.float32), contact_frames=(ee,),
+    contact_dims=(3,), prox_mu=1e-8, kd=1e-2,
+)
+dyn = IntegratorSemiImplEuler(ode=ode, timestep=jnp.asarray(0.02, jnp.float32))
+x0 = jnp.zeros((model.nq + nv,), jnp.float32).at[1].set(-0.8)
+cost = core.CostStack.create(
+    core.QuadraticStateCost(x0, 0.1 * jnp.eye(2 * nv, dtype=jnp.float32)),
+    core.QuadraticControlCost(1e-3 * jnp.eye(nu, dtype=jnp.float32)),
+)
+stage = core.make_stage(cost, dyn, space, nu)
+problem = core.make_problem(
+    x0, stage, 4, core.QuadraticStateCost(x0, jnp.eye(2 * nv, dtype=jnp.float32))
+)
+cfg = solvers.ProxDDPConfig(
+    tol=1e-3, mu_init=1e-2, max_iters=2, max_al_iters=2,
+    rollout="linear", ls_max_steps=2,
+)
+d = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (2, nv), jnp.float32)
+def one(dvi):
+    res = solvers.solve(
+        replace(problem, x0=x0.at[model.nq:].add(dvi)), cfg
+    )
+    return res.us
+us = jax.vmap(one)(d)
+import numpy as np
+np.save(sys.argv[1], np.asarray(us))
+print("SOLVE_DONE")
+"""
+    root = pathlib.Path(__file__).resolve().parents[1]
+    outs = {}
+    for tag, extra_env in (("std", {}), ("force", {"ALIGATOR_PT_FORCE": "1"})):
+        env = dict(os.environ, JAX_PLATFORMS="cpu", **extra_env)
+        out = f"/tmp/_pt_us_{tag}.npy"
+        r = subprocess.run(
+            [sys.executable, "-c", code, out],
+            capture_output=True, text=True, timeout=1200, cwd=root, env=env,
+        )
+        assert r.returncode == 0, f"{tag}: {r.stdout}\n{r.stderr}"
+        outs[tag] = out
+    a = np.load(outs["std"])
+    b = np.load(outs["force"])
+    assert np.isfinite(b).all()
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1.0)
+    assert rel < 2e-5, rel
