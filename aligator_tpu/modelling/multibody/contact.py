@@ -149,11 +149,22 @@ def _cfd_internals(
     p_refs=None,
     contact_dims=None,
     contact_frames2=None,
+    diff_solves=False,
 ):
     """Primal constrained-dynamics solve returning the internals needed by
     the analytic derivative pass (``derivatives.py``): the factorized mass
     matrix and Delassus solvers, the masked contact Jacobian, and the
     kinematics pass.
+
+    ``diff_solves``: route the SPD solves through the implicit-diff
+    dispatch (``lax.custom_linear_solve``) — REQUIRED when callers
+    differentiate straight through this function (the loop-constraint
+    autodiff path): tangents then come from exact solves of the tangent
+    system instead of autodiff through the Cholesky recursion, which is
+    measurably better conditioned (the ur10_ballistic OCP converges with
+    implicit tangents and stalls without them).  The analytic custom-JVP
+    path (world contacts) keeps the plain closure — faster on TPU and its
+    rules never differentiate through here.
 
     ``contact_frames2``: optional per-contact second frame (int, or None
     for a world contact).  An entry with a second frame is a body-body
@@ -229,7 +240,14 @@ def _cfd_internals(
     # refactorization — cfd_forward 2.04 → 3.07 ms at Talos batch 16; the
     # dispatch stays on the 3nv-column derivative solves where it wins)
     solve_M = smallmat.spd_solver(M)
-    Y = solve_M(jnp.concatenate([Jc.T, free[:, None]], axis=1))
+    if diff_solves:
+        from ...gar.riccati import spd_solve_dispatch
+
+        Y = spd_solve_dispatch(
+            M, jnp.concatenate([Jc.T, free[:, None]], axis=1)
+        )
+    else:
+        Y = solve_M(jnp.concatenate([Jc.T, free[:, None]], axis=1))
     MinvJt = Y[:, :-1]  # (nv, Σdims)
     a_free = Y[:, -1]
 
@@ -250,7 +268,12 @@ def _cfd_internals(
     G = G0 + mu_eff * jnp.eye(Jc.shape[0], dtype=dtype)
     rhs = Jc @ a_free + gamma
     solve_G = smallmat.spd_solver(G)
-    lam = solve_G(rhs)
+    if diff_solves:
+        from ...gar.riccati import spd_solve_dispatch
+
+        lam = spd_solve_dispatch(G, rhs)
+    else:
+        lam = solve_G(rhs)
 
     a = a_free - MinvJt @ lam
     return {
@@ -326,6 +349,7 @@ def constrained_fwd_dynamics(
         model, q, v, tau, contact_frames, active,
         prox_mu=prox_mu, kp=kp, kd=kd, p_refs=p_refs,
         contact_dims=contact_dims, contact_frames2=contact_frames2,
+        diff_solves=has_loop,
     )
     return out["a"], -out["lam"]
 
@@ -438,6 +462,7 @@ class MultibodyConstraintFwdDynamics(ODE):
                     self.active, prox_mu=self.prox_mu, kd=self.kd,
                     contact_dims=self.contact_dims,
                     contact_frames2=self.contact_frames2,
+                    diff_solves=True,
                 )
                 return out["a"]
 
