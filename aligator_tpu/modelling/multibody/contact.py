@@ -417,6 +417,13 @@ class MultibodyConstraintFwdDynamics(ODE):
     contact_dims: tuple = static_field(default=None)
     prox_mu: float = static_field(default=1e-8)
     kd: float = static_field(default=1e-2)
+    # position-level Baumgarte gain + per-contact position references
+    # ((n_contacts, 3) data leaf, or None): world targets for world
+    # contacts, RELATIVE (p1 - p2) targets for loop constraints — the
+    # reference RigidConstraintModel corrector Kp role
+    # (ur10_ballistic.py:167-170 sets Kp=1e-3, Kd=2*sqrt(Kp))
+    kp: float = static_field(default=0.0)
+    p_refs: jax.Array = None
     # per-contact second frame for body-body loop constraints (grasps);
     # None = all world contacts
     contact_frames2: tuple = static_field(default=None)
@@ -433,7 +440,9 @@ class MultibodyConstraintFwdDynamics(ODE):
             self.contact_frames,
             self.active,
             prox_mu=self.prox_mu,
+            kp=self.kp,
             kd=self.kd,
+            p_refs=self.p_refs,
             contact_dims=self.contact_dims,
             contact_frames2=self.contact_frames2,
         )
@@ -459,7 +468,8 @@ class MultibodyConstraintFwdDynamics(ODE):
                 out = _cfd_internals(
                     self.model, cspace.integrate(q, dq), v + dv,
                     self.actuation @ (u + du), self.contact_frames,
-                    self.active, prox_mu=self.prox_mu, kd=self.kd,
+                    self.active, prox_mu=self.prox_mu, kp=self.kp,
+                    kd=self.kd, p_refs=self.p_refs,
                     contact_dims=self.contact_dims,
                     contact_frames2=self.contact_frames2,
                     diff_solves=True,
@@ -478,8 +488,8 @@ class MultibodyConstraintFwdDynamics(ODE):
 
         (a, _f, da_dq, da_dv, da_dt, *_rest) = constrained_fd_derivatives(
             self.model, q, v, tau, self.contact_frames, self.active,
-            prox_mu=self.prox_mu, kd=self.kd,
-            contact_dims=self.contact_dims,
+            prox_mu=self.prox_mu, kp=self.kp, kd=self.kd,
+            p_refs=self.p_refs, contact_dims=self.contact_dims,
         )
         return a, da_dq, da_dv, da_dt @ self.actuation
 

@@ -83,10 +83,21 @@ def create_ur10_ballistic_problem(
         contact_dims=(6,), contact_frames2=(mug,),
     )
 
+    # position + velocity Baumgarte on the grasp with the REFERENCE's
+    # corrector gains (Kp=1e-3, Kd=2*sqrt(Kp) on the
+    # RigidConstraintModel corrector, ur10_ballistic.py:167-170). The
+    # gains matter a lot (measured): without the position term the AL
+    # loop is trajectory-chaotic (dual stalls anywhere in 5e-4..5); with
+    # kp=1 it over-stiffens (prim 16); with the reference's 1e-3 the
+    # solve converges cleanly (prim 4e-6 in 400 iterations). The
+    # relative-position reference is the grasp offset at t=0
+    # (p_ee - p_mug = 0 by construction of q0).
+    kp_grasp = 1e-3
     ode = MultibodyConstraintFwdDynamics(
         model=model, actuation=B, active=jnp.ones((1,), dtype),
         contact_frames=(ee,), contact_dims=(6,), contact_frames2=(mug,),
-        prox_mu=1e-9, kd=2e-2,
+        prox_mu=1e-9, kp=kp_grasp, kd=2.0 * float(np.sqrt(kp_grasp)),
+        p_refs=jnp.zeros((1, 3), dtype),
     )
     dyn = IntegratorSemiImplEuler(
         ode=ode, timestep=jnp.asarray(timestep, dtype)
@@ -173,12 +184,11 @@ if __name__ == "__main__":
     xs_init = rollout(
         problem.stages.dynamics, problem.space, problem.x0, us_init
     )
-    # measured schedule (CPU fp64): mu0=1e-2 + filter reaches the target to
-    # ~3e-5 primal by ~800 iterations; the dual residual tails off slowly
-    # (~5e-4) — accept 1e-3 dual (the reference example itself only prints
-    # the 300-iteration result, ur10_ballistic.py:379-384)
+    # measured (CPU fp64, reference corrector gains): converges in ~400
+    # iterations to prim 4e-6 / dual 1e-3, payload on target, torque
+    # limits satisfied.
     cfg = solvers.ProxDDPConfig(
-        tol=1e-4, dual_tol=1e-3, mu_init=1e-2, max_iters=800,
+        tol=1e-4, dual_tol=1e-3, mu_init=1e-2, max_iters=400,
         rollout="linear", ls_strategy="filter",
     )
     t0 = time.time()

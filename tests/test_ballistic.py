@@ -113,8 +113,15 @@ def test_loop_acc_derivatives_match_fd():
 
 @pytest.mark.slow
 def test_ur10_ballistic_example_converges():
-    """The full grasp-throw-release OCP converges and the payload reaches
-    the target (reference ur10_ballistic.py protocol at reduced N)."""
+    """The full grasp-throw-release OCP converges and the payload hits
+    the target under the torque bounds (reference ur10_ballistic.py
+    protocol at reduced N).
+
+    The grasp's Baumgarte corrector gains are load-bearing (measured):
+    with the reference's Kp=1e-3 / Kd=2√Kp the solve converges cleanly
+    (prim 4e-6, 400 iterations); without the position term the AL loop
+    is trajectory-chaotic, and with Kp=1 it over-stiffens — see the gain
+    note in the example."""
     from examples.ur10_ballistic import (
         TARGET_POS,
         create_ur10_ballistic_problem,
@@ -129,10 +136,8 @@ def test_ur10_ballistic_example_converges():
     xs_init = rollout(
         problem.stages.dynamics, problem.space, problem.x0, us_init
     )
-    # measured: prim 3e-5 / dual 5e-4 at 800 iters (the dual tail is slow;
-    # see examples/ur10_ballistic.py)
     cfg = solvers.ProxDDPConfig(
-        tol=1e-4, dual_tol=1e-3, mu_init=1e-2, max_iters=800,
+        tol=1e-4, dual_tol=1e-3, mu_init=1e-2, max_iters=400,
         rollout="linear", ls_strategy="filter",
     )
     res = solvers.solve(problem, cfg, xs_init=xs_init, us_init=us_init)
@@ -144,4 +149,6 @@ def test_ur10_ballistic_example_converges():
     # torque limits respected
     from aligator_tpu.modelling.multibody.robots import ur10_effort_limits
 
-    assert bool(jnp.all(jnp.abs(res.us) <= ur10_effort_limits() + 1e-5))
+    assert bool(
+        jnp.all(jnp.abs(res.us) <= ur10_effort_limits()[None, :] + 1e-5)
+    )
