@@ -391,6 +391,72 @@ def _stage_kernel(knot, carry, mudyn, mueq, assume_explicit, nth,
     return new_carry, out
 
 
+def _make_sweep_scan(assume_explicit, nth, unroll, bf16_prop, spd_lanes):
+    """Build the (memoized) custom_vmap dispatcher for the backward-sweep
+    scan.  Unbatched it is the plain ``lax.scan`` over ``_stage_kernel``;
+    under an outer ``vmap`` (the batched-MPC execution model) the WHOLE
+    sweep is routed to the fused whole-stage batch-on-lanes Pallas kernel
+    (``pallas_stage.sweep_lanes``) when eligible — medium dims, fp32,
+    explicit dynamics, no θ-block, batch a multiple of 128.  This is the
+    round-4 VERDICT item-3 fusion: Schur solve + value GEMMs + reduced-KKT
+    assembly + gains in ONE dispatch per stage, no intermediate HBM
+    round-trips."""
+
+    def scan_fn(knot_fields, carry0, mudyn, mueq):
+        def scan_body(carry, knot):
+            return _stage_kernel(knot, carry, mudyn, mueq, assume_explicit,
+                                 nth, bf16_prop, spd_lanes)
+
+        return lax.scan(scan_body, carry0, knot_fields, reverse=True,
+                        unroll=unroll)
+
+    @jax.custom_batching.custom_vmap
+    def fn(knot_fields, carry0, mudyn, mueq):
+        return scan_fn(knot_fields, carry0, mudyn, mueq)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, knot_fields, carry0, mudyn, mueq):
+        from . import pallas_stage
+
+        def bcast(leaf, is_b):
+            leaf = jnp.asarray(leaf)
+            return leaf if is_b else jnp.broadcast_to(
+                leaf[None], (axis_size,) + leaf.shape
+            )
+
+        kf_b, c0_b, mud_b, mue_b = jax.tree.map(
+            bcast, [knot_fields, carry0, mudyn, mueq], list(in_batched)
+        )
+        Q = kf_b["Q"]
+        eligible = (
+            Q.ndim == 4  # exactly one batch axis
+            and nth == 0
+            and pallas_stage.fused_stage_eligible(
+                axis_size, Q.shape[-1], kf_b["R"].shape[-1],
+                kf_b["C"].shape[-2], Q.dtype, nth, assume_explicit,
+            )
+        )
+        if eligible:
+            out = pallas_stage.sweep_lanes(kf_b, c0_b, mud_b, mue_b)
+        else:
+            out = jax.vmap(scan_fn)(kf_b, c0_b, mud_b, mue_b)
+        return out, jax.tree.map(lambda _: True, out)
+
+    return fn
+
+
+_SWEEP_SCAN = {}
+
+
+def _get_sweep_scan(assume_explicit, nth, unroll, bf16_prop, spd_lanes):
+    key = (bool(assume_explicit), int(nth), int(unroll), bool(bf16_prop),
+           bool(spd_lanes))
+    fn = _SWEEP_SCAN.get(key)
+    if fn is None:
+        fn = _SWEEP_SCAN[key] = _make_sweep_scan(*key)
+    return fn
+
+
 def _sym_pd(M):
     return 0.5 * (M + M.T)
 
@@ -415,7 +481,7 @@ def _initial_solve(P0, p0, G0, g0, mudyn, Vxt0=None):
 
 def sweep(kn: LQRKnots, mudyn, mueq, assume_explicit: bool = False,
           unroll: int = 1, bf16_prop: bool = False,
-          spd_lanes: bool = False):
+          spd_lanes: bool = False, stage_fused: bool = False):
     """Backward Riccati sweep over a knot sequence (no initial-stage solve).
 
     Returns ``(carry, stages)`` where ``carry`` is the value function
@@ -445,12 +511,17 @@ def sweep(kn: LQRKnots, mudyn, mueq, assume_explicit: bool = False,
     if nth > 0:
         knot_fields.update(Gx=kn.Gx[:N], Gu=kn.Gu[:N], Gth=kn.Gth[:N], gamma=kn.gamma[:N])
 
-    def scan_body(carry, knot):
-        return _stage_kernel(knot, carry, mudyn, mueq, assume_explicit, nth,
-                             bf16_prop, spd_lanes)
+    if stage_fused:
+        fn = _get_sweep_scan(assume_explicit, nth, unroll, bf16_prop,
+                             spd_lanes)
+        carry_f, stages = fn(knot_fields, carry0, mudyn, mueq)
+    else:
+        def scan_body(carry, knot):
+            return _stage_kernel(knot, carry, mudyn, mueq, assume_explicit,
+                                 nth, bf16_prop, spd_lanes)
 
-    carry_f, stages = lax.scan(scan_body, carry0, knot_fields, reverse=True,
-                               unroll=unroll)
+        carry_f, stages = lax.scan(scan_body, carry0, knot_fields,
+                                   reverse=True, unroll=unroll)
 
     zero_vec = jnp.zeros((nx,), dt)
     zero_mat = jnp.zeros((nx, nx), dt)
@@ -493,6 +564,7 @@ def backward(
     unroll: int = 1,
     bf16_prop: bool = False,
     spd_lanes: bool = False,
+    stage_fused: bool = False,
 ) -> RiccatiFactors:
     """Backward Riccati sweep over the full horizon.
 
@@ -506,7 +578,7 @@ def backward(
 
     carry_f, stages = sweep(kn, mudyn, mueq, assume_explicit,
                             unroll=unroll, bf16_prop=bf16_prop,
-                            spd_lanes=spd_lanes)
+                            spd_lanes=spd_lanes, stage_fused=stage_fused)
 
     P0, p0 = carry_f["P"], carry_f["p"]
     Vxt0 = carry_f["Vxt"] if nth > 0 else None
@@ -622,11 +694,12 @@ _GAIN_FIELDS = ("kff", "K", "zff", "Z", "lff", "L", "yff", "Afb")
 
 
 def _make_solve_and_gains(assume_explicit: bool, unroll: int = 1,
-                          bf16_prop: bool = False, spd_lanes: bool = False):
+                          bf16_prop: bool = False, spd_lanes: bool = False,
+                          stage_fused: bool = False):
     def scan_path(problem: LQRProblem, mudyn, mueq):
         factors = backward(problem, mudyn, mueq, assume_explicit,
                            unroll=unroll, bf16_prop=bf16_prop,
-                           spd_lanes=spd_lanes)
+                           spd_lanes=spd_lanes, stage_fused=stage_fused)
         xs, us, vs, lams = forward(factors, unroll=unroll)
         gains = {k: getattr(factors, k) for k in _GAIN_FIELDS}
         return xs, us, vs, lams, gains
@@ -675,11 +748,12 @@ _SOLVE_AND_GAINS = {}
 
 
 def _get_solve_and_gains(assume_explicit: bool, unroll: int,
-                         bf16_prop: bool, spd_lanes: bool):
+                         bf16_prop: bool, spd_lanes: bool,
+                         stage_fused: bool = False):
     # memoized per option tuple: custom_vmap objects must be built once at
     # module scope semantics (rebuilding per call would retrace)
     key = (bool(assume_explicit), int(unroll), bool(bf16_prop),
-           bool(spd_lanes))
+           bool(spd_lanes), bool(stage_fused))
     fn = _SOLVE_AND_GAINS.get(key)
     if fn is None:
         fn = _SOLVE_AND_GAINS[key] = _make_solve_and_gains(*key)
@@ -688,7 +762,8 @@ def _get_solve_and_gains(assume_explicit: bool, unroll: int,
 
 def solve_and_gains(problem: LQRProblem, mudyn, mueq,
                     assume_explicit: bool = True, unroll: int = 1,
-                    bf16_prop: bool = False, spd_lanes: bool = False):
+                    bf16_prop: bool = False, spd_lanes: bool = False,
+                    stage_fused: bool = False):
     """Solve + per-stage gains, with a TPU fused-kernel fast path under vmap.
 
     Unbatched, this is ``backward`` + ``forward`` (the XLA scan path). Under
@@ -708,9 +783,9 @@ def solve_and_gains(problem: LQRProblem, mudyn, mueq,
     value-propagation GEMMs in bf16 with fp32 accumulation (the KKT core
     stays fp32). Both are no-ops on the fused-Pallas dispatch.
     """
-    return _get_solve_and_gains(assume_explicit, unroll, bf16_prop, spd_lanes)(
-        problem, mudyn, mueq
-    )
+    return _get_solve_and_gains(
+        assume_explicit, unroll, bf16_prop, spd_lanes, stage_fused
+    )(problem, mudyn, mueq)
 
 
 def solve_refined(
