@@ -410,3 +410,126 @@ def sweep_lanes(knot_fields, carry0, mudyn, mueq, interpret=False):
         p=jnp.transpose(pf[:, 0, :], (1, 0)),
     )
     return carry_f, stages_bm
+
+
+# ---------------------------------------------------------------------------
+# Fused forward substitution (the rollout of the computed gains)
+# ---------------------------------------------------------------------------
+
+
+def fwd_lanes_eligible(axis_size, nx, nu, nc, dtype, backend=None):
+    """Eligibility of the batched forward substitution for the lanes
+    kernel.  The forward pass is 4 matvecs per stage — tiny batched GEMVs
+    that XLA cannot tile well (measured ~22 ms of the 113 ms humanoid-dim
+    LQ solve at batch 1024); there is no O(n³) growth here so no upper
+    nx ceiling."""
+    if backend is None:
+        backend = jax.default_backend()
+    words = 2 * nx * nx + nx * nu + nc * nx + 4 * nx + nu + nc
+    return (
+        backend == "tpu"
+        and dtype == jnp.float32
+        and axis_size >= LANES
+        and axis_size % LANES == 0
+        and nx >= 12
+        and nu >= 1
+        and 4 * LANES * 2 * words < 48 * 1024 * 1024
+    )
+
+
+def _fwd_kernel(kff_ref, K_ref, zff_ref, Z_ref, lff_ref, L_ref, yff_ref,
+                Afb_ref, x_ref, u_ref, v_ref, lam_ref, xn_ref):
+    """One forward stage: u = kff + K x, v = zff + Z x,
+    λ⁺ = lff + L x, x⁺ = yff + A_fb x (riccati.forward body,
+    reference forwardImpl riccati-kernel.hxx:302)."""
+    x = x_ref[:]
+    u_ref[:] = kff_ref[:] + _mm(K_ref[:], x)
+    v_ref[:] = zff_ref[:] + _mm(Z_ref[:], x)
+    lam_ref[:] = lff_ref[:] + _mm(L_ref[:], x)
+    xn_ref[:] = yff_ref[:] + _mm(Afb_ref[:], x)
+
+
+@functools.partial(jax.jit, static_argnames=("nx", "nu", "nc", "interpret"))
+def _fwd_call(knot, x, nx, nu, nc, interpret=False):
+    B = x.shape[-1]
+    grid = (B // LANES,)
+    dt = x.dtype
+    bspec = lambda d0, d1: pl.BlockSpec(  # noqa: E731
+        (d0, d1, LANES), lambda ib: (0, 0, ib)
+    )
+    in_specs = [
+        bspec(nu, 1), bspec(nu, nx), bspec(nc, 1), bspec(nc, nx),
+        bspec(nx, 1), bspec(nx, nx), bspec(nx, 1), bspec(nx, nx),
+        bspec(nx, 1),
+    ]
+    out_specs = [bspec(nu, 1), bspec(nc, 1), bspec(nx, 1), bspec(nx, 1)]
+    out_shape = [
+        jax.ShapeDtypeStruct(s.block_shape[:2] + (B,), dt) for s in out_specs
+    ]
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        **kwargs,
+    )(
+        knot["kff"], knot["K"], knot["zff"], knot["Z"],
+        knot["lff"], knot["L"], knot["yff"], knot["Afb"], x,
+    )
+
+
+def forward_lanes(fields, x0, interpret=False):
+    """Batched forward substitution through the lanes kernel.
+
+    ``fields``: dict of batch-major stacked gains (the ``riccati.forward``
+    scan inputs with a leading batch axis): kff/zff/lff/yff ``(B, N, n)``,
+    K/Z/L/Afb ``(B, N, r, c)``.  ``x0``: ``(B, nx)``.  Returns
+    ``(xN, outs)`` matching ``lax.scan`` of the forward body: ``outs`` has
+    ``x`` (the pre-update state), ``u``, ``v``, ``lam_next``, each
+    ``(B, N, ·)``.
+    """
+    K = fields["K"]
+    B_, N = K.shape[0], K.shape[1]
+    nu, nx = K.shape[2], K.shape[3]
+    nc = fields["Z"].shape[2]
+    nc_in = nc
+    if nc == 0:
+        dt = K.dtype
+        fields = dict(
+            fields,
+            Z=jnp.zeros((B_, N, 1, nx), dt),
+            zff=jnp.zeros((B_, N, 1), dt),
+        )
+        nc = 1
+
+    xs = dict(
+        kff=_lane_vec(fields["kff"]), K=_lane_mat(fields["K"]),
+        zff=_lane_vec(fields["zff"]), Z=_lane_mat(fields["Z"]),
+        lff=_lane_vec(fields["lff"]), L=_lane_mat(fields["L"]),
+        yff=_lane_vec(fields["yff"]), Afb=_lane_mat(fields["Afb"]),
+    )
+    x0_l = jnp.transpose(x0, (1, 0))[:, None, :]
+
+    def body(x, knot):
+        u, v, lam, xn = _fwd_call(knot, x, nx, nu, nc, interpret)
+        return xn, dict(x=x, u=u, v=v, lam_next=lam)
+
+    xN, outs = jax.lax.scan(body, x0_l, xs)
+
+    def back_vec(v):  # (N, n, 1, B) → (B, N, n)
+        return jnp.transpose(v[:, :, 0, :], (2, 0, 1))
+
+    outs_bm = dict(
+        x=back_vec(outs["x"]),
+        u=back_vec(outs["u"]),
+        v=back_vec(outs["v"])[:, :, :nc_in],
+        lam_next=back_vec(outs["lam_next"]),
+    )
+    return jnp.transpose(xN[:, 0, :], (1, 0)), outs_bm

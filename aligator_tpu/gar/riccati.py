@@ -457,6 +457,55 @@ def _get_sweep_scan(assume_explicit, nth, unroll, bf16_prop, spd_lanes):
     return fn
 
 
+def _forward_body(x, t_factors):
+    """Forward-substitution stage body (no-θ case; reference forwardImpl,
+    riccati-kernel.hxx:302) — shared by the inline scan and the lanes
+    dispatch below."""
+    u = t_factors["kff"] + t_factors["K"] @ x
+    v = t_factors["zff"] + t_factors["Z"] @ x
+    lam_next = t_factors["lff"] + t_factors["L"] @ x
+    x_next = t_factors["yff"] + t_factors["Afb"] @ x
+    return x_next, dict(x=x, u=u, v=v, lam_next=lam_next)
+
+
+@jax.custom_batching.custom_vmap
+def _forward_scan_dispatch(fields, x0):
+    """Forward-substitution scan that, under an outer ``vmap``, routes the
+    whole batch to the lanes forward kernel (``pallas_stage.forward_lanes``)
+    when eligible — the per-stage 4-matvec body is tiny batched GEMVs XLA
+    cannot tile (measured ~22 ms of the 113 ms humanoid-dim LQ solve at
+    batch 1024)."""
+    return lax.scan(_forward_body, x0, fields)
+
+
+@_forward_scan_dispatch.def_vmap
+def _forward_scan_rule(axis_size, in_batched, fields, x0):
+    from . import pallas_stage
+
+    def bcast(leaf, is_b):
+        leaf = jnp.asarray(leaf)
+        return leaf if is_b else jnp.broadcast_to(
+            leaf[None], (axis_size,) + leaf.shape
+        )
+
+    fields_b, x0_b = jax.tree.map(bcast, [fields, x0], list(in_batched))
+    K = fields_b["K"]
+    eligible = (
+        K.ndim == 4  # exactly one batch axis
+        and pallas_stage.fwd_lanes_eligible(
+            axis_size, K.shape[-1], K.shape[-2],
+            fields_b["Z"].shape[-2], K.dtype,
+        )
+    )
+    if eligible:
+        out = pallas_stage.forward_lanes(fields_b, x0_b)
+    else:
+        out = jax.vmap(
+            lambda f_, x_: lax.scan(_forward_body, x_, f_)
+        )(fields_b, x0_b)
+    return out, jax.tree.map(lambda _: True, out)
+
+
 def _sym_pd(M):
     return 0.5 * (M + M.T)
 
@@ -626,6 +675,7 @@ def forward(
     x0: Optional[jax.Array] = None,
     lam0: Optional[jax.Array] = None,
     unroll: int = 1,
+    stage_fused: bool = False,
 ):
     """Forward substitution (reference forwardImpl, riccati-kernel.hxx:302).
 
@@ -668,7 +718,12 @@ def forward(
             Lth=factors.Lth[:N], Yth=factors.Yth[:N],
         )
 
-    xN, outs = lax.scan(body, x0, fields, unroll=unroll)
+    if stage_fused and not has_th:
+        # lanes forward kernel under vmap (pallas_stage.forward_lanes);
+        # unbatched / ineligible it is the same scan
+        xN, outs = _forward_scan_dispatch(fields, x0)
+    else:
+        xN, outs = lax.scan(body, x0, fields, unroll=unroll)
 
     uN = factors.kff[N] + factors.K[N] @ xN
     vN = factors.zff[N] + factors.Z[N] @ xN
@@ -700,7 +755,8 @@ def _make_solve_and_gains(assume_explicit: bool, unroll: int = 1,
         factors = backward(problem, mudyn, mueq, assume_explicit,
                            unroll=unroll, bf16_prop=bf16_prop,
                            spd_lanes=spd_lanes, stage_fused=stage_fused)
-        xs, us, vs, lams = forward(factors, unroll=unroll)
+        xs, us, vs, lams = forward(factors, unroll=unroll,
+                                   stage_fused=stage_fused)
         gains = {k: getattr(factors, k) for k in _GAIN_FIELDS}
         return xs, us, vs, lams, gains
 

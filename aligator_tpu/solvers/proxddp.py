@@ -845,7 +845,7 @@ def solve(
                 stage_fused=stage_fused,
             )
             dxs, dus_p, dvs_p, dlams = riccati.forward(
-                factors, unroll=cfg.lq_scan_unroll
+                factors, unroll=cfg.lq_scan_unroll, stage_fused=stage_fused
             )
             gain_K, gain_kff = factors.K, factors.kff
         dus = dus_p[:N]

@@ -136,3 +136,66 @@ def test_fused_stage_eligibility():
     assert not pallas_stage.fused_stage_eligible(
         1024, 36, 12, 12, f32, assume_explicit=False, backend="tpu"
     )
+
+
+@pytest.mark.parametrize("nc", [3, 0])
+def test_forward_lanes_matches_scan_interpret(nc):
+    """Interpret-mode lanes forward substitution == riccati.forward."""
+    N, nx, nu = 6, 13, 4
+    B = 128
+    kn = _batched_problem(B, N, nx, nu, nc, seed=1)
+    fac = jax.vmap(
+        lambda kk: riccati.backward(
+            gar.LQRProblem(
+                knots=kk, G0=jnp.eye(nx, dtype=jnp.float32),
+                g0=jnp.zeros(nx, jnp.float32),
+            ),
+            MUDYN, MUEQ, True,
+        )
+    )(kn)
+    xs, us, vs, lams = jax.vmap(lambda f: riccati.forward(f))(fac)
+    fields = {
+        k: getattr(fac, k)[:, :N]
+        for k in ("kff", "K", "zff", "Z", "lff", "L", "yff", "Afb")
+    }
+    xN, outs = pallas_stage.forward_lanes(fields, fac.x0, interpret=True)
+    for a, b, nm in (
+        (xs[:, :N], outs["x"], "x"),
+        (us[:, :N], outs["u"], "u"),
+        (vs[:, :N], outs["v"], "v"),
+        (lams[:, 1:], outs["lam_next"], "lam"),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape, nm
+        if a.size == 0:
+            continue
+        scale = np.max(np.abs(a)) + 1e-9
+        np.testing.assert_allclose(b, a, atol=1e-4 * scale, err_msg=nm)
+    np.testing.assert_allclose(
+        np.asarray(xN), np.asarray(xs[:, N]),
+        atol=1e-4 * (np.max(np.abs(np.asarray(xs))) + 1e-9),
+    )
+
+
+def test_forward_dispatch_falls_back_on_cpu():
+    """``forward(stage_fused=True)`` under vmap equals the plain scan on
+    CPU (fp32-roundoff tolerance: the fallback branch vmaps the scan
+    explicitly, which fuses differently)."""
+    N, nx, nu, nc = 5, 13, 4, 2
+    kn = _batched_problem(8, N, nx, nu, nc, seed=4)
+    fac = jax.vmap(
+        lambda kk: riccati.backward(
+            gar.LQRProblem(
+                knots=kk, G0=jnp.eye(nx, dtype=jnp.float32),
+                g0=jnp.zeros(nx, jnp.float32),
+            ),
+            MUDYN, MUEQ, True,
+        )
+    )(kn)
+    ref = jax.vmap(lambda f: riccati.forward(f))(fac)
+    fus = jax.vmap(lambda f: riccati.forward(f, stage_fused=True))(fac)
+    for a, b in zip(ref, fus):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            b, a, atol=5e-4 * (np.max(np.abs(a)) + 1e-9)
+        )
